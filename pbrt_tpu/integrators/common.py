@@ -1,0 +1,105 @@
+"""Shared integrator machinery: camera rays, NEE with MIS, light selection.
+
+Reference: core/src/integrator/common.rs (uniform_sample_one_light,
+estimate_direct with power-heuristic MIS) and sampler_integrator.rs camera
+sample flow. All functions are wavefront-vectorized and dimension-indexed
+statically (the stateless-sampler contract, see pbrt_tpu/samplers).
+
+Static sampler dimension layout:
+  0,1 film jitter | 2,3 lens | 4 time
+  per bounce b (base = 5 + 8*b):
+    +0 mix-material select | +1 light select | +2,3 light sample
+    +4 bsdf lobe select    | +5,6 bsdf direction | +7 russian roulette
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pbrt_tpu.core import math as vm
+from pbrt_tpu.core.math import dot, normalize
+from pbrt_tpu.core.sampling import power_heuristic
+from pbrt_tpu.samplers import sample_dim, sample_2d
+from pbrt_tpu.cameras import CameraSamples, generate_rays
+from pbrt_tpu.materials import compute_lobes
+from pbrt_tpu.materials import bsdf as B
+from pbrt_tpu import lights as LT
+from pbrt_tpu.scene.intersect import intersect, intersect_p
+
+CAMERA_DIMS = 5
+BOUNCE_DIMS = 8
+
+
+def bounce_base(bounce: int) -> int:
+    return CAMERA_DIMS + BOUNCE_DIMS * bounce
+
+
+def camera_rays(cs, px, py, sample_idx, spp_for_diff=1):
+    """Generate primary rays for pixels (px, py) at sample_idx."""
+    spec = cs.sampler
+    u_film = sample_2d(spec, px, py, sample_idx, 0)
+    p_film = jnp.stack([px.astype(jnp.float32) + u_film[:, 0],
+                        py.astype(jnp.float32) + u_film[:, 1]], -1)
+    u_lens = sample_2d(spec, px, py, sample_idx, 2)
+    u_time = sample_dim(spec, px, py, sample_idx, 4)
+    rays, w = generate_rays(cs.camera, CameraSamples(p_film, u_lens, u_time))
+    if rays.rx_o is not None and spp_for_diff > 1:
+        rays = rays.scaled_differentials(1.0 / jnp.sqrt(jnp.float32(spp_for_diff)))
+    return rays, w, p_film
+
+
+def sample_one_light(cs, si, lobes, active, u_sel, u_light):
+    """NEE with MIS light-sample half (integrator/common.rs:90,150).
+
+    Returns Ld [N,3] (unweighted by beta)."""
+    data = cs.data
+    flags = cs.flags
+    if flags.n_lights == 0:
+        return jnp.zeros(si.p.shape, jnp.float32)
+    light_idx, pmf, _ = data.light_distr.sample_discrete(u_sel)
+    ls = LT.sample_li(data.lights, data, light_idx, si.p, u_light,
+                      data.world_center, data.world_radius)
+    wi_local = si.world_to_local(ls.wi)
+    wo_local = si.world_to_local(si.wo)
+    f = B.bsdf_f(lobes, wo_local, wi_local) * vm.absdot(ls.wi, si.ns)[:, None]
+    contributes = active & (ls.pdf > 0.0) & ~B.black(f) & ~B.black(ls.li) & (pmf > 0.0)
+
+    # shadow ray (VisibilityTester::unoccluded, visibility_tester.rs)
+    o = si.spawn_origin(ls.wi)
+    to_l = ls.p_light - o
+    dist = vm.length(to_l)
+    sd = to_l / jnp.maximum(dist, 1e-12)[:, None]
+    occluded = intersect_p(data, flags, o, sd, dist * (1.0 - 1e-3))
+    contributes = contributes & ~occluded
+
+    # MIS: delta lights skip the heuristic (estimate_direct)
+    pdf_b = B.bsdf_pdf(lobes, wo_local, wi_local)
+    w_l = jnp.where(ls.is_delta, 1.0, power_heuristic(1.0, ls.pdf * pmf, 1.0, pdf_b))
+    denom = jnp.maximum(ls.pdf * pmf, 1e-12)
+    ld = f * ls.li * (w_l / denom)[:, None]
+    return jnp.where(contributes[:, None], ld, 0.0)
+
+
+def light_pdf_for_dir(cs, prev_p, wi, si_next, light_idx):
+    """pdf (solid angle x selection pmf) that NEE would have generated
+    direction wi hitting light light_idx — the bsdf-half MIS weight input."""
+    data = cs.data
+    hit_cos = vm.absdot(si_next.ng, si_next.wo)
+    pdf = LT.pdf_li(data.lights, data, light_idx, prev_p, wi,
+                    si_next.t, hit_cos, data.world_radius)
+    pmf = data.light_distr.discrete_pdf(jnp.maximum(light_idx, 0))
+    return pdf * pmf
+
+
+def infinite_pdf_for_dir(cs, wi):
+    """Combined pdf of NEE picking any infinite light and sampling wi."""
+    data = cs.data
+    n = wi.shape[0]
+    total = jnp.zeros((n,), jnp.float32)
+    for li in range(cs.flags.n_lights):
+        kind_is_inf = data.lights.kind[li] == LT.L_INFINITE
+        idx = jnp.full((n,), li, jnp.int32)
+        pdf = LT.pdf_li(data.lights, data, idx, wi * 0.0, wi,
+                        jnp.ones((n,)), jnp.ones((n,)), data.world_radius)
+        pmf = data.light_distr.discrete_pdf(jnp.full((n,), li))
+        total = total + jnp.where(kind_is_inf, pdf * pmf, 0.0)
+    return total

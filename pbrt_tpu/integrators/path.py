@@ -1,0 +1,119 @@
+"""Wavefront unidirectional path tracer with NEE + MIS + Russian roulette.
+
+Reference: integrators/src/path.rs (PathIntegrator::li :103, RR :264-276).
+TPU re-design (SURVEY sect. 7): the reference's per-ray bounce loop becomes a
+statically-unrolled wavefront pipeline — every bounce runs
+intersect -> shade(material stage) -> NEE -> BSDF-sample over the full [N]
+ray SoA with masked lanes instead of divergent control flow. Sampler
+dimensions are allocated statically per bounce so the whole estimator is a
+pure function of (pixel, sample_index) — replayable for backprop.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pbrt_tpu.core import math as vm
+from pbrt_tpu.core.math import dot, normalize
+from pbrt_tpu.core.sampling import power_heuristic
+from pbrt_tpu.samplers import sample_dim, sample_2d
+from pbrt_tpu.materials import compute_lobes
+from pbrt_tpu.materials import bsdf as B
+from pbrt_tpu import lights as LT
+from pbrt_tpu.scene.intersect import intersect
+from pbrt_tpu.integrators.common import (bounce_base, camera_rays,
+                                         sample_one_light, light_pdf_for_dir,
+                                         infinite_pdf_for_dir)
+
+
+def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.0):
+    """Radiance estimate for one sample of each pixel. Returns (L [N,3],
+    p_film [N,2], ray_weight [N])."""
+    spec = cs.sampler
+    data = cs.data
+    flags = cs.flags
+    n = px.shape[0]
+
+    rays, ray_w, p_film = camera_rays(cs, px, py, sample_idx,
+                                      spp_for_diff=spec.rounded_spp())
+    o, d = rays.o, rays.d
+
+    L = jnp.zeros((n, 3), jnp.float32)
+    beta = jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), bool)
+    specular_bounce = jnp.ones((n,), bool)   # bounce 0 counts as "specular"
+    prev_bsdf_pdf = jnp.zeros((n,), jnp.float32)
+    prev_p = o
+    eta_scale = jnp.ones((n,), jnp.float32)
+
+    for bounce in range(max_depth + 1):
+        base = bounce_base(bounce)
+        si = intersect(data, flags, o, normalize(d), jnp.full((n,), vm.INF))
+
+        # ---- emitted radiance (hit emitters / escaped to infinite) ----
+        if flags.has_infinite:
+            esc = active & ~si.valid
+            le_inf = LT.le_escaped(data.lights, normalize(d))
+            if bounce == 0:
+                w = jnp.ones((n,), jnp.float32)
+            else:
+                pdf_inf = infinite_pdf_for_dir(cs, normalize(d))
+                w = jnp.where(specular_bounce, 1.0,
+                              power_heuristic(1.0, prev_bsdf_pdf, 1.0, pdf_inf))
+            L = L + jnp.where(esc[:, None], beta * le_inf * w[:, None], 0.0)
+        if flags.has_area_lights:
+            hit_l = active & si.valid & (si.area_light >= 0)
+            le = LT.le_area(data.lights, si.area_light, si.ng, si.wo)
+            if bounce == 0:
+                w = jnp.ones((n,), jnp.float32)
+            else:
+                pdf_l = light_pdf_for_dir(cs, prev_p, normalize(d), si, si.area_light)
+                w = jnp.where(specular_bounce, 1.0,
+                              power_heuristic(1.0, prev_bsdf_pdf, 1.0, pdf_l))
+            L = L + jnp.where(hit_l[:, None], beta * le * w[:, None], 0.0)
+
+        active = active & si.valid
+        if bounce == max_depth:
+            break
+
+        # ---- material stage ----
+        u_mix = sample_dim(spec, px, py, sample_idx, base + 0)
+        lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
+                              u_mix, flags.has_tex_slot)
+
+        # ---- NEE ----
+        u_sel = sample_dim(spec, px, py, sample_idx, base + 1)
+        u_light = sample_2d(spec, px, py, sample_idx, base + 2)
+        ld = sample_one_light(cs, si, lobes, active, u_sel, u_light)
+        L = L + jnp.where(active[:, None], beta * ld, 0.0)
+
+        # ---- BSDF sampling ----
+        u_lobe = sample_dim(spec, px, py, sample_idx, base + 4)
+        u_dir = sample_2d(spec, px, py, sample_idx, base + 5)
+        wo_local = si.world_to_local(si.wo)
+        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir)
+        wi_world = si.local_to_world(bs.wi)
+        cos_w = vm.absdot(wi_world, si.ns)
+        ok = active & (bs.pdf > 0.0) & ~B.black(bs.f)
+        beta = jnp.where(ok[:, None],
+                         beta * bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-12))[:, None],
+                         beta)
+        active = ok
+        specular_bounce = bs.is_specular
+        prev_bsdf_pdf = bs.pdf
+        eta_scale = eta_scale * bs.eta_scale
+        prev_p = si.p
+        o = si.spawn_origin(wi_world)
+        d = wi_world
+
+        # ---- Russian roulette (path.rs:264-276) ----
+        if bounce > 3:
+            rr_beta = vm.max_component(beta * eta_scale[:, None])
+            u_rr = sample_dim(spec, px, py, sample_idx, base + 7)
+            q = jnp.maximum(0.05, 1.0 - rr_beta)
+            do_rr = rr_beta < rr_threshold
+            survive = ~do_rr | (u_rr >= q)
+            beta = jnp.where((do_rr & survive)[:, None],
+                             beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
+            active = active & survive
+
+    return L, p_film, ray_w

@@ -1,0 +1,114 @@
+"""Render driver: CompiledScene -> image.
+
+The analog of pbrt_world_end's render drive (api/src/lib.rs:447-507) and the
+reference's tile loop (sampler_integrator.rs:243-300), TPU-first: instead of
+CPU threads pulling tiles off a channel, ONE jitted step renders a whole
+sample-index wavefront (all pixels x spp_batch) and deposits into the film
+pytree with donated buffers; the host loops over sample batches. Under a
+device mesh the same step shards rays and psum-reduces film (parallel/).
+"""
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.film import FilmState, add_samples, develop
+from pbrt_tpu.scene.types import CompiledScene
+from pbrt_tpu.utils.options import OPTIONS
+from pbrt_tpu.io.image_io import write_image
+
+
+def _sample_pixels(cs):
+    """All pixel coords in the film's sample bounds (host)."""
+    x0, x1, y0, y1 = cs.film.sample_bounds
+    xs, ys = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
+    return xs.ravel().astype(np.int32), ys.ravel().astype(np.int32)
+
+
+def _li_fn(cs):
+    kind = cs.integrator_kind
+    p = cs.integrator_params
+    if kind in ("path", "volpath"):
+        from pbrt_tpu.integrators.path import li_path
+        max_depth = int(p.get("maxdepth", [5])[0])
+        rr = float(p.get("rrthreshold", [1.0])[0])
+        return functools.partial(li_path, max_depth=max_depth, rr_threshold=rr)
+    if kind == "whitted":
+        from pbrt_tpu.integrators.whitted import li_whitted
+        return functools.partial(li_whitted, max_depth=int(p.get("maxdepth", [5])[0]))
+    if kind == "directlighting":
+        from pbrt_tpu.integrators.direct import li_direct
+        return functools.partial(
+            li_direct, max_depth=int(p.get("maxdepth", [5])[0]),
+            strategy=str(p.get("strategy", ["all"])[0]))
+    # bdpt/mlt/sppm have their own render drivers (integrators/<name>.py)
+    from pbrt_tpu.integrators.path import li_path
+    return functools.partial(li_path, max_depth=int(p.get("maxdepth", [5])[0]))
+
+
+def render(cs: CompiledScene, options=None, verbose=False):
+    """Returns the final [H, W, 3] linear RGB image (numpy)."""
+    options = options or OPTIONS
+    kind = cs.integrator_kind
+    if kind == "sppm":
+        from pbrt_tpu.integrators.sppm import render_sppm
+        return render_sppm(cs, options, verbose)
+    if kind == "bdpt":
+        from pbrt_tpu.integrators.bdpt import render_bdpt
+        return render_bdpt(cs, options, verbose)
+    if kind == "mlt":
+        from pbrt_tpu.integrators.mlt import render_mlt
+        return render_mlt(cs, options, verbose)
+    return render_sampler_integrator(cs, options, verbose)
+
+
+def render_sampler_integrator(cs: CompiledScene, options=None, verbose=False,
+                              li_fn=None):
+    options = options or OPTIONS
+    px, py = _sample_pixels(cs)
+    n_pix = px.shape[0]
+    spp = cs.sampler.rounded_spp()
+    if options.quick:
+        spp = max(1, spp // 4)
+    li = li_fn or _li_fn(cs)
+
+    # batch: k sample-indices per pass so a pass is >= ~64k rays
+    k = max(1, min(spp, options.wavefront_size // max(n_pix, 1)))
+    table = cs.film.filter_table()
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(film, sample_lo):
+        pxs = jnp.tile(jnp.asarray(px), (k,))
+        pys = jnp.tile(jnp.asarray(py), (k,))
+        sidx = (sample_lo + jnp.repeat(jnp.arange(k), n_pix)).astype(jnp.int32)
+        L, p_film, ray_w = li(cs, pxs, pys, sidx)
+        return add_samples(cs.film, film, p_film, L, ray_w, table=table)
+
+    film = FilmState.zeros(cs.film)
+    t0 = time.time()
+    s = 0
+    while s < spp:
+        film = step(film, jnp.int32(s))
+        s += k
+        if verbose:
+            film.rgb_sum.block_until_ready()
+            done = min(s, spp)
+            el = time.time() - t0
+            print(f"  spp {done}/{spp}  ({el:.1f}s, {n_pix*done/max(el,1e-9)/1e6:.2f} Mpaths/s)")
+    img = develop(cs.film, film)
+    return np.asarray(img)
+
+
+def render_file(path: str, options=None, verbose=False):
+    """Parse, render, write (bin/src/main.rs render())."""
+    from pbrt_tpu.scene import load_scene
+    options = options or OPTIONS
+    cs = load_scene(path, options)
+    img = render(cs, options, verbose)
+    out = options.outfile or cs.film.filename
+    write_image(out, img)
+    return out, img

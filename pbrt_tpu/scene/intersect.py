@@ -1,0 +1,186 @@
+"""Unified scene intersection: BVH triangles + quadric table -> SurfaceInteraction.
+
+Reference: core/src/scene.rs intersect/intersect_p + GeometricPrimitive::
+intersect. TPU re-design: triangles ride the wavefront BVH kernel; the few
+quadrics of a scene run as a vmapped brute-force pass (each quadric vs all
+rays, per-lane lax.switch over quadric type); the closest of the two worlds
+wins and the full SurfaceInteraction is reconstructed once for the winner.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.core import math as vm
+from pbrt_tpu.core.math import normalize, cross, dot
+from pbrt_tpu.core.interaction import SurfaceInteraction, make_frame
+from pbrt_tpu.accel.traverse import intersect_bvh, intersect_bruteforce
+from pbrt_tpu.shapes.triangle import triangle_shading
+from pbrt_tpu.shapes import quadrics as Q
+from pbrt_tpu.scene.types import SceneData, SceneFlags
+
+
+def _quadric_pass(scene: SceneData, flags: SceneFlags, o, d, t_max):
+    """[N] closest quadric hit over the whole table. Returns dict of arrays."""
+    Nq = scene.quad_type.shape[0]
+
+    def one_quadric(qi, carry):
+        t_best, best_idx = carry
+        w2o = scene.quad_w2o[qi]
+        oo = o @ w2o[:3, :3].T + w2o[:3, 3]
+        od = d @ w2o[:3, :3].T
+        qp = scene.quad_params[qi]
+
+        def branch(k):
+            return lambda: Q.intersect_quadric(k, qp, oo, od, t_best)[0:2]
+
+        hit, t = jax.lax.switch(scene.quad_type[qi],
+                                [branch(k) for k in range(6)])
+        closer = hit & (t < t_best)
+        t_best = jnp.where(closer, t, t_best)
+        best_idx = jnp.where(closer, qi, best_idx)
+        return t_best, best_idx
+
+    t_best = jnp.asarray(t_max, jnp.float32)
+    best_idx = jnp.full(o.shape[:1], -1, jnp.int32)
+    t_best, best_idx = jax.lax.fori_loop(0, Nq, one_quadric, (t_best, best_idx))
+    return t_best, best_idx
+
+
+def _quadric_eval_all(scene: SceneData, qi, o, d, t_max):
+    """Per-lane full quadric evaluation: for each of the 6 kinds evaluate with
+    per-lane params and mask-select by the lane's quadric type."""
+    qis = jnp.maximum(qi, 0)
+    w2o = scene.quad_w2o[qis]
+    o2w = scene.quad_o2w[qis]
+    oo = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], o) + w2o[:, :3, 3]
+    od = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], d)
+    qp = scene.quad_params[qis]      # [N, 8]
+    qtype = scene.quad_type[qis]
+
+    class PerLaneParams:
+        def __getitem__(self, i):
+            return qp[:, i]
+    plp = PerLaneParams()
+
+    out = None
+    for k in range(6):
+        hit, t, p, n, uv, dpdu, dpdv, perr = Q.intersect_quadric(k, plp, oo, od, t_max)
+        sel = qtype == k
+        if out is None:
+            out = [jnp.where(sel, hit, False), jnp.where(sel, t, 0.0),
+                   jnp.where(sel[:, None], p, 0.0), jnp.where(sel[:, None], n, 0.0),
+                   jnp.where(sel[:, None], uv, 0.0), jnp.where(sel[:, None], dpdu, 0.0),
+                   jnp.where(sel[:, None], dpdv, 0.0), jnp.where(sel[:, None], perr, 0.0)]
+        else:
+            out[0] = jnp.where(sel, hit, out[0])
+            out[1] = jnp.where(sel, t, out[1])
+            for j, v in enumerate((p, n, uv, dpdu, dpdv, perr)):
+                out[2 + j] = jnp.where(sel[:, None], v, out[2 + j])
+    hit, t, p, n, uv, dpdu, dpdv, perr = out
+    # object -> world
+    pw = jnp.einsum("nij,nj->ni", o2w[:, :3, :3], p) + o2w[:, :3, 3]
+    nw = normalize(jnp.einsum("nij,ni->nj", w2o[:, :3, :3], n))
+    dpduw = jnp.einsum("nij,nj->ni", o2w[:, :3, :3], dpdu)
+    dpdvw = jnp.einsum("nij,nj->ni", o2w[:, :3, :3], dpdv)
+    perrw = jnp.abs(jnp.einsum("nij,nj->ni", jnp.abs(o2w[:, :3, :3]), perr)) + 1e-5 * jnp.abs(pw)
+    return hit, t, pw, nw, uv, dpduw, dpdvw, perrw
+
+
+def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max) -> SurfaceInteraction:
+    """Closest hit of the whole wavefront -> full SurfaceInteraction."""
+    N = o.shape[0]
+    t_best = jnp.asarray(t_max, jnp.float32)
+
+    # triangles
+    if flags.n_tris > 0:
+        if flags.use_bvh:
+            th = intersect_bvh(scene.bvh, scene.tri_p0, scene.tri_p1,
+                               scene.tri_p2, o, d, t_best)
+        else:
+            th = intersect_bruteforce(scene.tri_p0, scene.tri_p1, scene.tri_p2,
+                                      o, d, t_best)
+        tri_t, tri_id, b1, b2 = th.t, th.tri, th.b1, th.b2
+    else:
+        tri_t = t_best
+        tri_id = jnp.full((N,), -1, jnp.int32)
+        b1 = b2 = jnp.zeros((N,), jnp.float32)
+
+    # quadrics
+    if flags.n_quadrics > 0:
+        q_t, q_id = _quadric_pass(scene, flags, o, d, tri_t)
+    else:
+        q_t = tri_t
+        q_id = jnp.full((N,), -1, jnp.int32)
+
+    use_quad = q_id >= 0   # quadric pass already bounded by tri_t
+    any_hit = (tri_id >= 0) | use_quad
+    t = jnp.where(use_quad, q_t, tri_t)
+
+    # --- assemble SurfaceInteraction ---
+    tid = jnp.maximum(tri_id, 0)
+    b0 = 1.0 - b1 - b2
+    tp0 = scene.tri_p0[tid]
+    tp1 = scene.tri_p1[tid]
+    tp2 = scene.tri_p2[tid]
+    tn = jnp.where(scene.tri_has_n[tid][:, None, None], scene.tri_n[tid], 0.0)
+    has_n = scene.tri_has_n[tid]
+    tuv = scene.tri_uv[tid]
+    p_t, ng_t, ns_raw, uv_t, dpdu_t, dpdv_t, perr_t = triangle_shading(
+        tid, b0, b1, b2, tp0, tp1, tp2, None, None, tuv, -d)
+    # interpolated shading normals where present
+    ns_int = normalize(b0[:, None] * tn[:, 0] + b1[:, None] * tn[:, 1]
+                       + b2[:, None] * tn[:, 2])
+    ns_bad = vm.length_squared(ns_int) < 1e-12
+    ns_t = jnp.where((has_n & ~ns_bad)[:, None], ns_int, ns_raw)
+    ng_t = vm.face_forward(ng_t, ns_t)
+
+    if flags.n_quadrics > 0:
+        qh, q_t2, p_q, ng_q, uv_q, dpdu_q, dpdv_q, perr_q = _quadric_eval_all(
+            scene, q_id, o, d, t_max)
+        p = jnp.where(use_quad[:, None], p_q, p_t)
+        ng = jnp.where(use_quad[:, None], ng_q, ng_t)
+        ns = jnp.where(use_quad[:, None], ng_q, ns_t)
+        uv = jnp.where(use_quad[:, None], uv_q, uv_t)
+        dpdu = jnp.where(use_quad[:, None], dpdu_q, dpdu_t)
+        dpdv = jnp.where(use_quad[:, None], dpdv_q, dpdv_t)
+        perr = jnp.where(use_quad[:, None], perr_q, perr_t)
+        prim = jnp.where(use_quad, scene.quad_prim[jnp.maximum(q_id, 0)],
+                         scene.tri_prim[tid])
+    else:
+        p, ng, ns, uv, dpdu, dpdv, perr = p_t, ng_t, ns_t, uv_t, dpdu_t, dpdv_t, perr_t
+        prim = scene.tri_prim[tid]
+
+    # reverse orientation flips normals (GeometricPrimitive)
+    rev = scene.prim_rev[jnp.maximum(prim, 0)]
+    ng = jnp.where(rev[:, None], -ng, ng)
+    ns = jnp.where(rev[:, None], -ns, ns)
+
+    ss, ts = make_frame(ns, dpdu)
+    material = jnp.where(any_hit, scene.prim_material[jnp.maximum(prim, 0)], -1)
+    area_light = jnp.where(any_hit, scene.prim_light[jnp.maximum(prim, 0)], -1)
+    z = jnp.zeros((N,), jnp.float32)
+    return SurfaceInteraction(
+        valid=any_hit, t=t, p=p, p_err=perr, wo=normalize(-d), ng=ng, ns=ns,
+        ss=ss, ts=ts, uv=uv, dpdu=dpdu, dpdv=dpdv,
+        prim=jnp.where(any_hit, prim, -1), material=material,
+        area_light=area_light, dudx=z, dvdx=z, dudy=z, dvdy=z)
+
+
+def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max):
+    """Any-hit (shadow rays). Returns [N] bool occluded."""
+    occluded = jnp.zeros(o.shape[:1], bool)
+    if flags.n_tris > 0:
+        if flags.use_bvh:
+            th = intersect_bvh(scene.bvh, scene.tri_p0, scene.tri_p1,
+                               scene.tri_p2, o, d, t_max, any_hit=True)
+        else:
+            th = intersect_bruteforce(scene.tri_p0, scene.tri_p1, scene.tri_p2,
+                                      o, d, t_max)
+        occluded = occluded | (th.tri >= 0)
+    if flags.n_quadrics > 0:
+        q_t, q_id = _quadric_pass(scene, flags, o, d, jnp.asarray(t_max, jnp.float32))
+        occluded = occluded | (q_id >= 0)
+    return occluded

@@ -1,0 +1,77 @@
+"""Compiled scene containers.
+
+SceneData = the device pytree (all arrays); CompiledScene = host wrapper
+with static specs (camera/film/sampler/integrator) and compile-time flags
+that specialize the jitted render (reference analog: Scene core/src/scene.rs
++ the RenderOptions products api/src/render_options.rs).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from pbrt_tpu.accel.bvh import BVH
+from pbrt_tpu.materials import MaterialTable
+from pbrt_tpu.textures import TextureTable
+from pbrt_tpu.lights import LightTable
+from pbrt_tpu.core.sampling import Distribution1D
+
+
+class SceneData(NamedTuple):
+    # triangles (world space)
+    tri_p0: jnp.ndarray    # [T,3]
+    tri_p1: jnp.ndarray
+    tri_p2: jnp.ndarray
+    tri_n: jnp.ndarray     # [T,3,3] shading normals (zeros if none)
+    tri_has_n: jnp.ndarray  # [T] bool
+    tri_uv: jnp.ndarray    # [T,3,2]
+    tri_prim: jnp.ndarray  # [T] int32 -> primitive record
+    # quadrics
+    quad_type: jnp.ndarray    # [Q]
+    quad_o2w: jnp.ndarray     # [Q,4,4]
+    quad_w2o: jnp.ndarray     # [Q,4,4]
+    quad_params: jnp.ndarray  # [Q,8]
+    quad_prim: jnp.ndarray    # [Q]
+    # acceleration
+    bvh: BVH
+    # primitive records
+    prim_material: jnp.ndarray   # [P]
+    prim_light: jnp.ndarray      # [P] area light id or -1
+    prim_rev: jnp.ndarray        # [P] reverse_orientation xor swaps_handedness
+    # tables
+    mats: MaterialTable
+    tex: TextureTable
+    lights: LightTable
+    light_distr: Distribution1D  # power-weighted light selection
+    # bounds
+    world_center: jnp.ndarray    # [3]
+    world_radius: jnp.ndarray    # scalar
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneFlags:
+    """Static compile-time specialization knobs."""
+    n_tris: int
+    n_quadrics: int
+    n_lights: int
+    n_materials: int
+    has_infinite: bool
+    has_area_lights: bool
+    use_bvh: bool               # False -> brute force (tiny scenes)
+    has_tex_slot: Tuple[bool, ...]
+    any_normals: bool
+    any_uv: bool
+
+
+@dataclasses.dataclass
+class CompiledScene:
+    data: SceneData
+    flags: SceneFlags
+    camera: object       # CameraSpec
+    film: object         # FilmSpec
+    sampler: object      # SamplerSpec
+    filter_spec: object  # FilterSpec
+    integrator_kind: str
+    integrator_params: dict

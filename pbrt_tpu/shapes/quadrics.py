@@ -177,7 +177,7 @@ def intersect_quadric(qtype: int, qp, o, d, t_max):
         cos_phi = p[..., 0] * inv_zr
         sin_phi = p[..., 1] * inv_zr
         dpdu = vec3(-phimax * p[..., 1], phimax * p[..., 0], jnp.zeros_like(u))
-        dpdv = dth * vec3(p[..., 2] * cos_phi, p[..., 2] * sin_phi, -radius * jnp.sin(theta))
+        dpdv = jnp.asarray(dth)[..., None] * vec3(p[..., 2] * cos_phi, p[..., 2] * sin_phi, -radius * jnp.sin(theta))
         n = normalize(p)
         p_err = vm.gamma_bound(5) * jnp.abs(p)
         return hit, t, p, n, jnp.stack([u, v], -1), dpdu, dpdv, p_err
@@ -290,21 +290,29 @@ def intersect_quadric(qtype: int, qp, o, d, t_max):
         v = (p[..., 2] - zmin) / jnp.maximum(zmax - zmin, 1e-9)
         dpdu = vec3(-phimax * p[..., 1], phimax * p[..., 0], jnp.zeros_like(u))
         pz = jnp.maximum(p[..., 2], 1e-6)
-        dpdv = (zmax - zmin) * vec3(p[..., 0] / (2.0 * pz), p[..., 1] / (2.0 * pz),
-                                    jnp.ones_like(u))
+        dpdv = jnp.asarray(zmax - zmin)[..., None] * vec3(p[..., 0] / (2.0 * pz), p[..., 1] / (2.0 * pz),
+                                                  jnp.ones_like(u))
         n = normalize(cross(dpdu, dpdv))
         p_err = vm.gamma_bound(7) * jnp.abs(p)
         return hit, t, p, n, jnp.stack([u, v], -1), dpdu, dpdv, p_err
 
     if qtype == HYPERBOLOID:
-        p1v = qp[0:3]
+        # components accessed per-axis so this works for both a flat [8]
+        # param vector and the per-lane [N] wrapper used by the scene pass
+        p1x, p1y, p1z = qp[0], qp[1], qp[2]
         phimax = qp[3]
-        p2v = qp[4:7]
+        p2x, p2y, p2z = qp[4], qp[5], qp[6]
+        p1v = jnp.stack(jnp.broadcast_arrays(jnp.asarray(p1x, jnp.float32),
+                                             jnp.asarray(p1y, jnp.float32),
+                                             jnp.asarray(p1z, jnp.float32)), -1)
+        p2v = jnp.stack(jnp.broadcast_arrays(jnp.asarray(p2x, jnp.float32),
+                                             jnp.asarray(p2y, jnp.float32),
+                                             jnp.asarray(p2z, jnp.float32)), -1)
         ah = qp[7]
-        z2 = jnp.where(jnp.abs(p2v[2]) < 1e-9, 1.0, p2v[2])
-        ch = (ah * (p2v[0] ** 2 + p2v[1] ** 2) - 1.0) / (z2 * z2)
-        zmin = jnp.minimum(p1v[2], p2v[2])
-        zmax = jnp.maximum(p1v[2], p2v[2])
+        z2 = jnp.where(jnp.abs(p2z) < 1e-9, 1.0, p2z)
+        ch = (ah * (p2x ** 2 + p2y ** 2) - 1.0) / (z2 * z2)
+        zmin = jnp.minimum(p1z, p2z)
+        zmax = jnp.maximum(p1z, p2z)
         a = ah * dx * dx + ah * dy * dy - ch * dz * dz
         b = 2.0 * (ah * dx * ox + ah * dy * oy - ch * dz * oz)
         c = ah * ox * ox + ah * oy * oy - ch * oz * oz - 1.0
@@ -312,7 +320,7 @@ def intersect_quadric(qtype: int, qp, o, d, t_max):
 
         def eval_at(t):
             p = o + d * t[..., None]
-            v = (p[..., 2] - p1v[2]) / jnp.maximum(p2v[2] - p1v[2], 1e-9)
+            v = (p[..., 2] - p1z) / jnp.maximum(p2z - p1z, 1e-9)
             pr = (1.0 - v)[..., None] * p1v + v[..., None] * p2v
             phi = jnp.arctan2(pr[..., 0] * p[..., 1] - p[..., 0] * pr[..., 1],
                               p[..., 0] * pr[..., 0] + p[..., 1] * pr[..., 1])
@@ -332,9 +340,9 @@ def intersect_quadric(qtype: int, qp, o, d, t_max):
         u = phi / phimax
         cos_phi, sin_phi = jnp.cos(phi), jnp.sin(phi)
         dpdu = vec3(-phimax * p[..., 1], phimax * p[..., 0], jnp.zeros_like(u))
-        dxdv = p2v[0] - p1v[0]
-        dydv = p2v[1] - p1v[1]
-        dzdv = p2v[2] - p1v[2]
+        dxdv = p2x - p1x
+        dydv = p2y - p1y
+        dzdv = p2z - p1z
         dpdv = vec3(dxdv * cos_phi - dydv * sin_phi, dxdv * sin_phi + dydv * cos_phi,
                     jnp.full_like(u, dzdv))
         n = normalize(cross(dpdu, dpdv))
