@@ -49,13 +49,20 @@ def intersect_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     neg_dir = (d < 0.0)  # [N,3]
 
-    stack = jnp.zeros((N, TRAVERSAL_STACK), jnp.int32)
-    sp = jnp.ones((N,), jnp.int32)  # root pre-pushed at slot 0
+    # every while-carry component derives from the (possibly sharded) ray
+    # inputs so its sharding "varying" type is consistent under shard_map
+    # (o alone is not enough: a pinhole camera's origins are replicated
+    # constants — directions always vary per pixel)
+    # (t_max is excluded: inf * 0 = NaN)
+    zero_f = (o[:, 0] + d[:, 0]) * 0.0
+    zero_i = zero_f.astype(jnp.int32)
+    stack = jnp.broadcast_to(zero_i[:, None], (N, TRAVERSAL_STACK))
+    sp = zero_i + 1  # root pre-pushed at slot 0
 
-    t_best = jnp.asarray(t_max, jnp.float32)
-    tri_best = jnp.full((N,), -1, jnp.int32)
-    b1_best = jnp.zeros((N,), jnp.float32)
-    b2_best = jnp.zeros((N,), jnp.float32)
+    t_best = jnp.asarray(t_max, jnp.float32) + zero_f
+    tri_best = zero_i - 1
+    b1_best = zero_f
+    b2_best = zero_f
 
     order = bvh.prim_order
 

@@ -1,0 +1,554 @@
+"""Bidirectional path tracing, wavefront form.
+
+Reference: integrators/src/bdpt/ (mod.rs: generate_camera_subpath :452,
+generate_light_subpath :510, random_walk :588, mis_weight :765,
+connect_bdpt :927; vertex.rs Vertex abstraction).
+
+TPU re-design: subpaths are SoA vertex ARRAYS [N, DEPTH] built by the same
+statically-unrolled wavefront walk as path.py; every (s,t) connection
+strategy is evaluated for the whole wavefront (masked by per-lane subpath
+lengths) and deposits either into the pixel's sample (t>=2) or as film
+splats (t==1, film.add_splats — the reference's film.add_splat :347). MIS
+weights use the standard pdf-ratio product over the stored forward/reverse
+densities with the reference's remap0 convention.
+
+Scope notes (round 1): t==1 camera re-projection supports the perspective
+camera; infinite-light subpath endpoints use the constant/env radiance with
+uniform-sphere density.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.core import math as vm
+from pbrt_tpu.core.math import dot, normalize
+from pbrt_tpu.samplers import sample_dim, sample_2d
+from pbrt_tpu.materials import compute_lobes
+from pbrt_tpu.materials import bsdf as B
+from pbrt_tpu import lights as LT
+from pbrt_tpu.scene.intersect import intersect, intersect_p
+from pbrt_tpu.integrators.common import camera_rays
+from pbrt_tpu.film import FilmState, add_samples, add_splats, develop
+from pbrt_tpu.utils.options import OPTIONS
+
+# sampler dimension layout for BDPT: camera dims 0-4, then per camera bounce
+# 8 dims starting at 5, then light path dims starting at 5 + 8*MAXD
+CAM_BASE = 5
+VERTEX_FIELDS = 8
+
+
+class VertexSoA(NamedTuple):
+    """[N, D] per-vertex arrays. type: 0 none, 1 camera, 2 light, 3 surface."""
+    vtype: jnp.ndarray
+    p: jnp.ndarray          # [N,D,3]
+    ng: jnp.ndarray         # [N,D,3]
+    ns: jnp.ndarray
+    ss: jnp.ndarray         # shading frame for bsdf eval
+    ts: jnp.ndarray
+    uv: jnp.ndarray         # [N,D,2]
+    beta: jnp.ndarray       # [N,D,3]
+    pdf_fwd: jnp.ndarray    # [N,D] area density from previous vertex
+    pdf_rev: jnp.ndarray    # [N,D]
+    delta: jnp.ndarray      # [N,D] bool (specular connection-impossible)
+    material: jnp.ndarray   # [N,D]
+    light: jnp.ndarray      # [N,D] area light id at the vertex (-1)
+    mat_umix: jnp.ndarray   # [N,D] mix-material random (replay lobes)
+
+
+def _lobes_at(cs, v: VertexSoA, k):
+    """Recompute lobes at vertex k (cheaper than storing 18 lobe arrays)."""
+    return compute_lobes(cs.data.mats, cs.data.tex, v.material[:, k],
+                         v.uv[:, k], v.p[:, k], v.mat_umix[:, k],
+                         cs.flags.has_tex_slot)
+
+
+def _f_at(cs, v: VertexSoA, k, wo_w, wi_w):
+    lobes = _lobes_at(cs, v, k)
+    wo_l = jnp.stack([dot(wo_w, v.ss[:, k]), dot(wo_w, v.ts[:, k]), dot(wo_w, v.ns[:, k])], -1)
+    wi_l = jnp.stack([dot(wi_w, v.ss[:, k]), dot(wi_w, v.ts[:, k]), dot(wi_w, v.ns[:, k])], -1)
+    return B.bsdf_f(lobes, wo_l, wi_l), B.bsdf_pdf(lobes, wo_l, wi_l), \
+        B.bsdf_pdf(lobes, wi_l, wo_l)
+
+
+def _convert_density(pdf_sa, from_p, to_p, to_ng):
+    """Solid-angle pdf at from -> area density at to (vertex.rs
+    convert_density)."""
+    w = to_p - from_p
+    d2 = jnp.maximum(vm.length_squared(w), 1e-12)
+    wn = w * jax.lax.rsqrt(d2)[..., None]
+    return pdf_sa * vm.absdot(to_ng, wn) / d2
+
+
+def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode):
+    """Random walk storing a VertexSoA of up to max_depth vertices.
+
+    mode: "camera" | "light" (radiance vs importance transport; the only
+    transport-mode asymmetry we carry is the shading-normal correction).
+    Returns VertexSoA [N, max_depth].
+    """
+    data, flags, spec = cs.data, cs.flags, cs.sampler
+    n = o.shape[0]
+    D = max_depth
+
+    def zeros(shape, dt=jnp.float32):
+        return jnp.zeros(shape, dt)
+
+    v = VertexSoA(zeros((n, D), jnp.int32), zeros((n, D, 3)), zeros((n, D, 3)),
+                  zeros((n, D, 3)), zeros((n, D, 3)), zeros((n, D, 3)),
+                  zeros((n, D, 2)), zeros((n, D, 3)), zeros((n, D)),
+                  zeros((n, D)), zeros((n, D), bool), zeros((n, D), jnp.int32) - 1,
+                  zeros((n, D), jnp.int32) - 1, zeros((n, D)))
+
+    beta = beta0
+    active = jnp.ones((n,), bool) & ~B.black(beta0)
+    pdf_fwd_sa = pdf_dir0
+    prev_p = o
+    prev_delta = jnp.zeros((n,), bool)
+
+    for k in range(D):
+        base = dim_base + 8 * k
+        dn = normalize(d)
+        si = intersect(data, flags, o, dn, jnp.full((n,), vm.INF))
+        hit = active & si.valid
+        u_mix = sample_dim(spec, px, py, sidx, base + 0)
+
+        pdf_fwd_area = _convert_density(pdf_fwd_sa, prev_p, si.p, si.ng)
+        v = v._replace(
+            vtype=v.vtype.at[:, k].set(jnp.where(hit, 3, 0)),
+            p=v.p.at[:, k].set(si.p), ng=v.ng.at[:, k].set(si.ng),
+            ns=v.ns.at[:, k].set(si.ns), ss=v.ss.at[:, k].set(si.ss),
+            ts=v.ts.at[:, k].set(si.ts), uv=v.uv.at[:, k].set(si.uv),
+            beta=v.beta.at[:, k].set(jnp.where(hit[:, None], beta, 0.0)),
+            pdf_fwd=v.pdf_fwd.at[:, k].set(jnp.where(hit, pdf_fwd_area, 0.0)),
+            delta=v.delta.at[:, k].set(prev_delta & hit),
+            material=v.material.at[:, k].set(jnp.where(hit, si.material, -1)),
+            light=v.light.at[:, k].set(jnp.where(hit, si.area_light, -1)),
+            mat_umix=v.mat_umix.at[:, k].set(u_mix))
+        active = hit
+        if k == D - 1:
+            break
+
+        lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
+                              u_mix, flags.has_tex_slot)
+        u_lobe = sample_dim(spec, px, py, sidx, base + 4)
+        u_dir = sample_2d(spec, px, py, sidx, base + 5)
+        wo_local = si.world_to_local(si.wo)
+        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir)
+        wi_world = si.local_to_world(bs.wi)
+        cos_w = vm.absdot(wi_world, si.ns)
+        ok = active & (bs.pdf > 0) & ~B.black(bs.f)
+        correction = 1.0
+        if mode == "light":
+            # shading-normal correction for importance transport
+            num = vm.absdot(si.wo, si.ns) * vm.absdot(wi_world, si.ng)
+            den = jnp.maximum(vm.absdot(si.wo, si.ng) * vm.absdot(wi_world, si.ns), 1e-9)
+            correction = num / den
+        beta = jnp.where(ok[:, None],
+                         beta * bs.f * (cos_w * correction
+                                        / jnp.maximum(bs.pdf, 1e-12))[:, None], beta)
+        # reverse pdf at this vertex (density of sampling backwards)
+        wi_l2 = si.world_to_local(wi_world)
+        pdf_rev_sa = B.bsdf_pdf(lobes, wi_l2, wo_local)
+        v = v._replace(pdf_rev=v.pdf_rev.at[:, k].set(
+            jnp.where(ok, pdf_rev_sa, 0.0)))
+        prev_delta = bs.is_specular
+        pdf_fwd_sa = jnp.where(bs.is_specular, 0.0, bs.pdf)
+        prev_p = si.p
+        active = ok
+        o = si.spawn_origin(wi_world)
+        d = wi_world
+
+    return v
+
+
+def _length(v: VertexSoA):
+    return jnp.sum((v.vtype > 0).astype(jnp.int32), axis=1)
+
+
+def render_bdpt(cs, options=None, verbose=False):
+    """Full BDPT render driver (bdpt/mod.rs render :262)."""
+    options = options or OPTIONS
+    from pbrt_tpu.render import _sample_pixels
+    p = cs.integrator_params
+    max_depth = int(p.get("maxdepth", [5])[0])
+    D = max_depth + 1
+
+    px_all, py_all = _sample_pixels(cs)
+    n_pix = len(px_all)
+    spp = cs.sampler.rounded_spp()
+    if options.quick:
+        spp = max(1, spp // 4)
+    table = cs.film.filter_table()
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(film, s):
+        px = jnp.asarray(px_all)
+        py = jnp.asarray(py_all)
+        sidx = jnp.full((n_pix,), s, jnp.int32)
+        L, p_film, splat_p, splat_v = _bdpt_sample(cs, px, py, sidx, D)
+        film = add_samples(cs.film, film, p_film, L, table=table)
+        film = add_splats(cs.film, film, splat_p, splat_v)
+        return film
+
+    film = FilmState.zeros(cs.film)
+    for s in range(spp):
+        film = step(film, jnp.int32(s))
+        if verbose:
+            print(f"  bdpt spp {s+1}/{spp}")
+    return np.asarray(develop(cs.film, film, splat_scale=1.0 / spp))
+
+
+def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1")):
+    """One BDPT sample for each pixel: returns (L, p_film, splat_p, splat_v)."""
+    data, flags, spec = cs.data, cs.flags, cs.sampler
+    n = px.shape[0]
+
+    # ---- camera subpath ----
+    rays, ray_w, p_film = camera_rays(cs, px, py, sidx)
+    cam_o = rays.o
+    pdf_cam_dir = camera_pdf_we_dir(cs, cam_o, cam_o + normalize(rays.d))
+    cam_v = _walk(cs, rays.o, normalize(rays.d), jnp.ones((n, 3)),
+                  pdf_cam_dir, D, px, py, sidx, CAM_BASE, "camera")
+
+    # ---- light subpath ----
+    lbase = CAM_BASE + 8 * D
+    u_sel = sample_dim(spec, px, py, sidx, lbase + 0)
+    light_idx, pmf, _ = data.light_distr.sample_discrete(u_sel)
+    u_pos = sample_2d(spec, px, py, sidx, lbase + 1)
+    u_dir = sample_2d(spec, px, py, sidx, lbase + 3)
+    le = LT.sample_le(data.lights, data, light_idx, u_pos, u_dir,
+                      data.world_center, data.world_radius)
+    pdf0 = jnp.maximum(le.pdf_pos * pmf, 1e-12)
+    beta_l0 = le.le * (vm.absdot(le.n_light, normalize(le.d))
+                       / jnp.maximum(pdf0 * le.pdf_dir, 1e-12))[:, None]
+    light_v = _walk(cs, le.o, normalize(le.d), beta_l0, le.pdf_dir, D - 1,
+                    px, py, sidx, lbase + 5, "light")
+
+    n_cam = _length(cam_v)
+    n_light = _length(light_v)
+
+    L = jnp.zeros((n, 3), jnp.float32)
+    splat_parts = []
+
+    # Index convention: cam_v/light_v store only SURFACE vertices. Strategy
+    # (s, t) in the reference counts endpoint vertices too: t surfaces on the
+    # camera side live at kt = t-2 (t=2 = camera + first surface), s surfaces
+    # on the light side at ks = s-2 (s=1 = the sampled light point itself).
+
+    # ---- s = 0: camera path hits a light directly ----
+    for t in (range(2, D + 2) if "s0" in strategies else []):
+        k = t - 2
+        if k >= D:
+            break
+        vt = cam_v.vtype[:, k] > 0
+        is_light = cam_v.light[:, k] >= 0
+        ok = vt & is_light & (n_cam >= k + 1)
+        prev = cam_o if k == 0 else cam_v.p[:, k - 1]
+        wo = normalize(prev - cam_v.p[:, k])
+        le_v = LT.le_area(data.lights, cam_v.light[:, k], cam_v.ng[:, k], wo)
+        w = _mis_weight_s0(cs, cam_v, k, cam_o)
+        L = L + jnp.where(ok[:, None], cam_v.beta[:, k] * le_v * w[:, None], 0.0)
+
+    # ---- s = 1 and s >= 2 connections for each t >= 2 ----
+    for t in range(2, D + 2):
+        kt = t - 2
+        if kt >= D:
+            break
+        cam_ok = (cam_v.vtype[:, kt] > 0) & ~cam_v.delta[:, kt] & (n_cam >= kt + 1)
+
+        # s=1: sample a light point (like NEE) and connect
+        sbase = CAM_BASE + 8 * D + 5 + 8 * (D - 1) + 4 * t
+        u_l = sample_2d(spec, px, py, sidx, sbase)
+        u_sel1 = sample_dim(spec, px, py, sidx, sbase + 2)
+        li1, pmf1, _ = data.light_distr.sample_discrete(u_sel1)
+        ls = LT.sample_li(data.lights, data, li1, cam_v.p[:, kt], u_l,
+                          data.world_center, data.world_radius)
+        f_c, pdf_c_fwd, pdf_c_rev = _f_at(cs, cam_v, kt,
+                                          _wo_of(cam_v, cam_o, kt), ls.wi)
+        g_cos = vm.absdot(ls.wi, cam_v.ns[:, kt])
+        contrib1 = cam_v.beta[:, kt] * f_c * ls.li * (g_cos / jnp.maximum(ls.pdf * pmf1, 1e-12))[:, None]
+        occ = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt], ls.p_light, ls.wi)
+        ok1 = cam_ok & (ls.pdf > 0) & ~B.black(contrib1) & ~occ
+        w1 = _mis_weight_s1(cs, cam_v, kt, ls, li1, cam_o, pdf_c_fwd, pdf_c_rev)
+        if "s1" in strategies:
+            L = L + jnp.where(ok1[:, None], contrib1 * w1[:, None], 0.0)
+
+        # s>=2: connect to light subpath vertices
+        for s in (range(2, D + 1) if "gen" in strategies else []):
+            ks = s - 2
+            if ks >= D - 1 or s + t > D + 2:
+                continue
+            l_ok = (light_v.vtype[:, ks] > 0) & ~light_v.delta[:, ks] & (n_light >= ks + 1)
+            d_c2l = light_v.p[:, ks] - cam_v.p[:, kt]
+            dist2 = jnp.maximum(vm.length_squared(d_c2l), 1e-12)
+            wi = d_c2l * jax.lax.rsqrt(dist2)[:, None]
+            f_cam, pc_f, pc_r = _f_at(cs, cam_v, kt, _wo_of(cam_v, cam_o, kt), wi)
+            f_li, pl_f, pl_r = _f_at(cs, light_v, ks, _wo_of(light_v, None, ks, le.o), -wi)
+            G = vm.absdot(wi, cam_v.ns[:, kt]) * vm.absdot(wi, light_v.ns[:, ks]) / dist2
+            contrib = cam_v.beta[:, kt] * f_cam * f_li * light_v.beta[:, ks] * G[:, None]
+            occ2 = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt],
+                             light_v.p[:, ks], wi)
+            ok2 = cam_ok & l_ok & ~B.black(contrib) & ~occ2
+            w2 = _mis_weight_general(cs, cam_v, light_v, kt, ks, light_idx,
+                                     le, pc_f, pc_r, pl_f, pl_r)
+            L = L + jnp.where(ok2[:, None], contrib * w2[:, None], 0.0)
+
+    # ---- t = 1: connect light subpath to the camera (splats) ----
+    # choose the longest valid light vertex chain; splat each s>=2 strategy.
+    if cs.camera.kind == "perspective" and "t1" in strategies:
+        for s in range(2, D + 1):
+            ks = s - 2
+            if ks >= D - 1:
+                continue
+            ok = (light_v.vtype[:, ks] > 0) & ~light_v.delta[:, ks] & (n_light >= ks + 1)
+            p_v = light_v.p[:, ks]
+            imp, p_raster, on_film = _camera_importance(cs, cam_o, p_v)
+            wi = normalize(cam_o - p_v)
+            f_l, pl_f1, pl_r1 = _f_at(cs, light_v, ks, _wo_of(light_v, None, ks, le.o), wi)
+            dist2 = jnp.maximum(vm.length_squared(cam_o - p_v), 1e-12)
+            # camera sample_wi pdf = dist^2 / cos -> beta_cam = We*cos/dist^2
+            cam_dirv = normalize(jnp.asarray(cs.camera.cam_to_world.start.m)[:3, :3]
+                                 @ jnp.array([0.0, 0, 1.0]))
+            cos_cam = jnp.maximum(dot(-wi, cam_dirv), 1e-6)
+            beta_cam = imp * cos_cam / dist2
+            G_l = vm.absdot(wi, light_v.ns[:, ks])
+            contrib = light_v.beta[:, ks] * f_l * (beta_cam * G_l)[:, None]
+            occ3 = _occluded(cs, p_v, light_v.ng[:, ks], cam_o, wi)
+            okc = ok & on_film & ~B.black(contrib) & ~occ3
+            we_dir = camera_pdf_we_dir(cs, cam_o, p_v)
+            wmis = _mis_weight_t1(cs, light_v, ks, light_idx, le, we_dir,
+                                  pl_r1, cam_o)
+            splat_parts.append((jnp.where(okc[:, None], p_raster, 0.0),
+                                jnp.where(okc[:, None], contrib * wmis[:, None], 0.0)))
+
+    if splat_parts:
+        splat_p = jnp.concatenate([sp for sp, _ in splat_parts])
+        splat_v = jnp.concatenate([sv for _, sv in splat_parts])
+    else:
+        splat_p = jnp.zeros((n, 2), jnp.float32)
+        splat_v = jnp.zeros((n, 3), jnp.float32)
+    return L, p_film, splat_p, splat_v
+
+
+def _wo_of(v: VertexSoA, origin, k, origin0=None):
+    """Direction from vertex k toward the previous path vertex."""
+    if k == 0:
+        prev = origin if origin is not None else origin0
+    else:
+        prev = v.p[:, k - 1]
+    return normalize(prev - v.p[:, k])
+
+
+def _occluded(cs, p_from, ng_from, p_to, w):
+    o = vm.offset_ray_origin(p_from, jnp.full_like(p_from, 1e-4), ng_from, w)
+    to = p_to - o
+    dist = vm.length(to)
+    sd = to / jnp.maximum(dist, 1e-12)[:, None]
+    return intersect_p(cs.data, cs.flags, o, sd, dist * (1 - 1e-3))
+
+
+def _camera_importance(cs, cam_o, p):
+    """Perspective camera We: importance + raster position of point p
+    (core/src/camera.rs we)."""
+    spec = cs.camera
+    c2w = spec.cam_to_world.interpolate(jnp.float32(0.0))
+    w2c3 = jnp.asarray(np.linalg.inv(np.asarray(spec.cam_to_world.start.m, np.float64)).astype(np.float32))
+    pc = p @ w2c3[:3, :3].T + w2c3[:3, 3]
+    behind = pc[:, 2] <= 1e-6
+    # full homogeneous camera->raster (the perspective divide lives in the
+    # matrix's w row — applying it as affine drops the projection)
+    c2r = jnp.asarray(spec.camera_to_raster)
+    num = pc @ c2r[:3, :3].T + c2r[:3, 3]
+    wdiv = pc @ c2r[3, :3].T + c2r[3, 3]
+    rast = num / jnp.where(jnp.abs(wdiv[:, None]) < 1e-9, 1e-9, wdiv[:, None])
+    resx, resy = spec.resolution
+    on = ~behind & (rast[:, 0] >= 0) & (rast[:, 0] < resx) & \
+        (rast[:, 1] >= 0) & (rast[:, 1] < resy)
+    # importance: 1/(A * cos^4 theta) (camera.rs we)
+    dvec = normalize(p - cam_o)
+    cam_dir = normalize((jnp.asarray(spec.cam_to_world.start.m)[:3, :3] @ jnp.array([0.0, 0, 1.0])))
+    cos_t = jnp.maximum(dot(dvec, cam_dir), 1e-6)
+    A = spec.screen_area
+    imp = 1.0 / (A * cos_t ** 4)
+    return jnp.where(on, imp, 0.0), rast[:, :2], on
+
+
+# ---------------------------------------------------------------------------
+# MIS weights — full pdf-ratio products over stored forward/reverse
+# densities (bdpt/mod.rs mis_weight :765, remap0 convention). For each
+# connection (s,t) the weight is 1/(1 + sum_cam + sum_light) where each sum
+# walks the respective subpath accumulating ri = p_reverse/p_forward in AREA
+# measure — exactly the reference's formulation, with the junction vertices'
+# reverse densities recomputed for the actual connection direction.
+# Delta-direction endpoints (point/spot/distant) and infinite lights carry
+# delta flags so their impossible competitor strategies drop out.
+# ---------------------------------------------------------------------------
+
+def _remap0(x):
+    return jnp.where(x > 0.0, x, 1.0)
+
+
+def _true(n):
+    return jnp.ones((n,), bool)
+
+
+def _cam_side_sum(cam_v, kt, p_gen_kt_area, pdf_rev_at_kt_sa):
+    """Sum of ri products over strategies that shift the junction down the
+    camera subpath (toward the camera)."""
+    n = cam_v.vtype.shape[0]
+    r = _remap0(p_gen_kt_area) / _remap0(cam_v.pdf_fwd[:, kt])
+    below = ~cam_v.delta[:, kt - 1] if kt > 0 else _true(n)
+    total = jnp.where(~cam_v.delta[:, kt] & below, r, 0.0)
+    prev_sa = pdf_rev_at_kt_sa
+    for j in range(kt - 1, -1, -1):
+        p_back = _convert_density(prev_sa, cam_v.p[:, j + 1], cam_v.p[:, j],
+                                  cam_v.ng[:, j])
+        r = r * _remap0(p_back) / _remap0(cam_v.pdf_fwd[:, j])
+        below = ~cam_v.delta[:, j - 1] if j > 0 else _true(n)
+        total = total + jnp.where(~cam_v.delta[:, j] & below, r, 0.0)
+        prev_sa = cam_v.pdf_rev[:, j]
+    return total
+
+
+def _emitter_info(cs, light_idx):
+    """Returns (pdf_pos_area x pmf, hittable, connectible):
+    hittable   — the camera path can intersect the emitter (s'=0 exists)
+    connectible — NEE can target the emitter (s'=1 exists); everything but
+    delta-DIRECTION lights (distant), matching Vertex::IsConnectible."""
+    li = jnp.maximum(light_idx, 0)
+    kind = cs.data.lights.kind[li]
+    pmf = cs.data.light_distr.discrete_pdf(li)
+    area = jnp.maximum(cs.data.lights.params[li][:, 4], 1e-9)
+    pdf_pos = jnp.where(kind == LT.L_AREA, pmf / area, pmf)
+    hittable = (kind == LT.L_AREA) | (kind == LT.L_INFINITE)
+    connectible = kind != LT.L_DISTANT
+    return pdf_pos, hittable, connectible
+
+
+def _emission_dir_pdf_sa(cs, light_idx, n_light_v, w):
+    """SA density of the emitter sampling emission direction w."""
+    li = jnp.maximum(light_idx, 0)
+    kind = cs.data.lights.kind[li]
+    cos_l = vm.absdot(n_light_v, w)
+    pdf_area_l = cos_l * (1.0 / np.pi)
+    pdf_point = jnp.full_like(cos_l, 1.0 / (4.0 * np.pi))
+    cone = cs.data.lights.params[li][:, 6]
+    pdf_spot = 1.0 / (2.0 * np.pi * jnp.maximum(1.0 - cone, 1e-6))
+    pdf = jnp.where(kind == LT.L_AREA, pdf_area_l,
+                    jnp.where(kind == LT.L_SPOT, pdf_spot, pdf_point))
+    return pdf
+
+
+def _light_side_sum(cs, light_v, ks, light_idx, le, p_gen_ks_area,
+                    pdf_rev_at_ks_sa):
+    """Sum of ri products shifting the junction down the light subpath, ending
+    at the emitter vertex (the s'=0 strategy)."""
+    n = light_v.vtype.shape[0]
+    pdf_pos, hittable, connectible = _emitter_info(cs, light_idx)
+    r = _remap0(p_gen_ks_area) / _remap0(light_v.pdf_fwd[:, ks])
+    below = ~light_v.delta[:, ks - 1] if ks > 0 else connectible
+    total = jnp.where(~light_v.delta[:, ks] & below, r, 0.0)
+    prev_sa = pdf_rev_at_ks_sa
+    for j in range(ks - 1, -1, -1):
+        p_back = _convert_density(prev_sa, light_v.p[:, j + 1], light_v.p[:, j],
+                                  light_v.ng[:, j])
+        r = r * _remap0(p_back) / _remap0(light_v.pdf_fwd[:, j])
+        below = ~light_v.delta[:, j - 1] if j > 0 else connectible
+        total = total + jnp.where(~light_v.delta[:, j] & below, r, 0.0)
+        prev_sa = light_v.pdf_rev[:, j]
+    # emitter vertex: regenerated from light_v[0] (strategy s'=0 — the camera
+    # path hits the emitter; only for hittable lights)
+    p_back_em = _convert_density(prev_sa, light_v.p[:, 0], le.o, le.n_light)
+    r = r * _remap0(p_back_em) / _remap0(pdf_pos)
+    total = total + jnp.where(hittable, r, 0.0)
+    return total
+
+
+def _mis_weight_s0(cs, cam_v, k, cam_o):
+    """s=0: pure camera path hits an emitter at surface index k."""
+    n = cam_v.vtype.shape[0]
+    if k == 0:
+        return jnp.ones((n,), jnp.float32)
+    light = cam_v.light[:, k]
+    pdf_pos, hittable, connectible = _emitter_info(cs, light)
+    # strategy (s'=1, t'=t-1): light point sampled directly
+    r = _remap0(pdf_pos) / _remap0(cam_v.pdf_fwd[:, k])
+    total = jnp.where(~cam_v.delta[:, k - 1], r, 0.0)
+    # deeper shifts: emission-direction density at the hit vertex
+    wo = normalize(cam_v.p[:, k - 1] - cam_v.p[:, k])
+    em_sa = _emission_dir_pdf_sa(cs, light, cam_v.ng[:, k], wo)
+    prev_sa = em_sa
+    for j in range(k - 1, -1, -1):
+        p_back = _convert_density(prev_sa, cam_v.p[:, j + 1], cam_v.p[:, j],
+                                  cam_v.ng[:, j])
+        r = r * _remap0(p_back) / _remap0(cam_v.pdf_fwd[:, j])
+        below = ~cam_v.delta[:, j - 1] if j > 0 else _true(n)
+        total = total + jnp.where(~cam_v.delta[:, j] & below, r, 0.0)
+        prev_sa = cam_v.pdf_rev[:, j]
+    return 1.0 / (1.0 + total)
+
+
+def _mis_weight_s1(cs, cam_v, kt, ls, light_idx, cam_o, pdf_c_fwd, pdf_c_rev):
+    """s=1: NEE-style connection at camera surface kt to a sampled light
+    point. Competitors: hitting the light (s'=0) + deeper camera shifts."""
+    n = cam_v.vtype.shape[0]
+    pmf = cs.data.light_distr.discrete_pdf(jnp.maximum(light_idx, 0))
+    pdf_pos, hittable, connectible = _emitter_info(cs, light_idx)
+    # light-side: the s'=0 strategy — BSDF-hit density at the light point
+    dist2 = jnp.maximum(vm.length_squared(ls.p_light - cam_v.p[:, kt]), 1e-12)
+    cos_at_l = vm.absdot(normalize(ls.p_light - cam_v.p[:, kt]),
+                         normalize(ls.p_light - cam_v.p[:, kt]))  # placeholder
+    # use the light-sample solid-angle pdf identity: ratio of SA densities
+    # equals ratio of area densities along the same segment
+    r_light = _remap0(pdf_c_fwd) / _remap0(ls.pdf * pmf)
+    sum_light = jnp.where(hittable, r_light, 0.0)
+    # camera-side: light emits toward kt and the junction shifts down
+    em_sa = _emission_dir_pdf_sa(cs, light_idx, _light_normal_guess(cs, light_idx, ls, cam_v, kt), -ls.wi)
+    p_gen_kt = _convert_density(em_sa, ls.p_light, cam_v.p[:, kt], cam_v.ng[:, kt])
+    sum_cam = _cam_side_sum(cam_v, kt, p_gen_kt, pdf_c_rev)
+    return 1.0 / (1.0 + sum_cam + sum_light)
+
+
+def _light_normal_guess(cs, light_idx, ls, cam_v, kt):
+    """Emitter normal at the sampled light point: for area lights, the
+    direction opposing the emission; delta lights ignore it."""
+    return normalize(cam_v.p[:, kt] - ls.p_light)
+
+
+def _mis_weight_t1(cs, light_v, ks, light_idx, le, pdf_we_dir_sa, pl_rev_sa,
+                   cam_o):
+    """t=1: light subpath splatted to the camera. Competitors: the camera
+    extending to the light vertex (t'=2) + deeper light-side shifts."""
+    p_gen_ks = _convert_density(pdf_we_dir_sa, cam_o, light_v.p[:, ks],
+                                light_v.ng[:, ks])
+    total = _light_side_sum(cs, light_v, ks, light_idx, le, p_gen_ks, pl_rev_sa)
+    return 1.0 / (1.0 + total)
+
+
+def _mis_weight_general(cs, cam_v, light_v, kt, ks, light_idx, le,
+                        pc_f, pc_r, pl_f, pl_r):
+    """General (s>=2, t>=2) connection between camera surface kt and light
+    surface ks."""
+    wi = normalize(light_v.p[:, ks] - cam_v.p[:, kt])
+    p_gen_kt = _convert_density(pl_f, light_v.p[:, ks], cam_v.p[:, kt],
+                                cam_v.ng[:, kt])
+    sum_cam = _cam_side_sum(cam_v, kt, p_gen_kt, pc_r)
+    p_gen_ks = _convert_density(pc_f, cam_v.p[:, kt], light_v.p[:, ks],
+                                light_v.ng[:, ks])
+    sum_light = _light_side_sum(cs, light_v, ks, light_idx, le, p_gen_ks, pl_r)
+    return 1.0 / (1.0 + sum_cam + sum_light)
+
+
+def camera_pdf_we_dir(cs, cam_o, p):
+    """SA density of the perspective camera sampling a ray toward p
+    (camera.rs pdf_we)."""
+    spec = cs.camera
+    dvec = normalize(p - cam_o)
+    cam_dir = normalize(jnp.asarray(spec.cam_to_world.start.m)[:3, :3] @ jnp.array([0.0, 0, 1.0]))
+    cos_t = jnp.maximum(dot(dvec, cam_dir), 1e-6)
+    return 1.0 / (spec.screen_area * cos_t ** 3)

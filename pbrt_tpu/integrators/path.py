@@ -25,16 +25,42 @@ from pbrt_tpu.integrators.common import (bounce_base, camera_rays,
                                          infinite_pdf_for_dir)
 
 
-def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.0):
+def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.0,
+            sampler_fn=None, p_film_override=None):
     """Radiance estimate for one sample of each pixel. Returns (L [N,3],
-    p_film [N,2], ray_weight [N])."""
+    p_film [N,2], ray_weight [N]).
+
+    sampler_fn: optional dim -> [N] override of the counter-based sampler
+    (used by MLT to drive the estimator from a primary-sample-space vector);
+    p_film_override: [N,2] raster positions bypassing the pixel+jitter path.
+    """
     spec = cs.sampler
     data = cs.data
     flags = cs.flags
     n = px.shape[0]
 
-    rays, ray_w, p_film = camera_rays(cs, px, py, sample_idx,
-                                      spp_for_diff=spec.rounded_spp())
+    if sampler_fn is None:
+        def sample_dim_(dim):
+            return sample_dim(spec, px, py, sample_idx, dim)
+
+        def sample_2d_(dim):
+            return sample_2d(spec, px, py, sample_idx, dim)
+    else:
+        def sample_dim_(dim):
+            return sampler_fn(dim)
+
+        def sample_2d_(dim):
+            return jnp.stack([sampler_fn(dim), sampler_fn(dim + 1)], -1)
+
+    if p_film_override is None:
+        rays, ray_w, p_film = camera_rays(cs, px, py, sample_idx,
+                                          spp_for_diff=spec.rounded_spp())
+    else:
+        from pbrt_tpu.cameras import CameraSamples, generate_rays
+        p_film = p_film_override
+        u_lens = sample_2d_(2)
+        u_time = sample_dim_(4)
+        rays, ray_w = generate_rays(cs.camera, CameraSamples(p_film, u_lens, u_time))
     o, d = rays.o, rays.d
 
     L = jnp.zeros((n, 3), jnp.float32)
@@ -76,19 +102,19 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
             break
 
         # ---- material stage ----
-        u_mix = sample_dim(spec, px, py, sample_idx, base + 0)
+        u_mix = sample_dim_(base + 0)
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
                               u_mix, flags.has_tex_slot)
 
         # ---- NEE ----
-        u_sel = sample_dim(spec, px, py, sample_idx, base + 1)
-        u_light = sample_2d(spec, px, py, sample_idx, base + 2)
+        u_sel = sample_dim_(base + 1)
+        u_light = sample_2d_(base + 2)
         ld = sample_one_light(cs, si, lobes, active, u_sel, u_light)
         L = L + jnp.where(active[:, None], beta * ld, 0.0)
 
         # ---- BSDF sampling ----
-        u_lobe = sample_dim(spec, px, py, sample_idx, base + 4)
-        u_dir = sample_2d(spec, px, py, sample_idx, base + 5)
+        u_lobe = sample_dim_(base + 4)
+        u_dir = sample_2d_(base + 5)
         wo_local = si.world_to_local(si.wo)
         bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir)
         wi_world = si.local_to_world(bs.wi)
@@ -108,7 +134,7 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         # ---- Russian roulette (path.rs:264-276) ----
         if bounce > 3:
             rr_beta = vm.max_component(beta * eta_scale[:, None])
-            u_rr = sample_dim(spec, px, py, sample_idx, base + 7)
+            u_rr = sample_dim_(base + 7)
             q = jnp.maximum(0.05, 1.0 - rr_beta)
             do_rr = rr_beta < rr_threshold
             survive = ~do_rr | (u_rr >= q)

@@ -1,0 +1,88 @@
+"""Whitted recursive ray tracing, wavefront form.
+
+Reference: integrators/src/whitted.rs (:15,55,65). Direct lighting from all
+lights at each hit + perfect specular reflection/transmission recursion —
+the recursion becomes the same statically-unrolled bounce loop as path.py,
+with only specular lanes continuing.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pbrt_tpu.core import math as vm
+from pbrt_tpu.core.math import normalize
+from pbrt_tpu.samplers import sample_dim, sample_2d
+from pbrt_tpu.materials import compute_lobes
+from pbrt_tpu.materials import bsdf as B
+from pbrt_tpu import lights as LT
+from pbrt_tpu.scene.intersect import intersect, intersect_p
+from pbrt_tpu.integrators.common import bounce_base, camera_rays
+
+
+def li_whitted(cs, px, py, sample_idx, max_depth: int = 5):
+    spec = cs.sampler
+    data = cs.data
+    flags = cs.flags
+    n = px.shape[0]
+
+    rays, ray_w, p_film = camera_rays(cs, px, py, sample_idx,
+                                      spp_for_diff=spec.rounded_spp())
+    o, d = rays.o, rays.d
+    L = jnp.zeros((n, 3), jnp.float32)
+    beta = jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), bool)
+
+    for bounce in range(max_depth + 1):
+        base = bounce_base(bounce)
+        si = intersect(data, flags, o, normalize(d), jnp.full((n,), vm.INF))
+
+        if flags.has_infinite:
+            esc = active & ~si.valid
+            L = L + jnp.where(esc[:, None],
+                              beta * LT.le_escaped(data.lights, normalize(d)), 0.0)
+        if flags.has_area_lights:
+            hit_l = active & si.valid & (si.area_light >= 0)
+            le = LT.le_area(data.lights, si.area_light, si.ng, si.wo)
+            L = L + jnp.where(hit_l[:, None], beta * le, 0.0)
+
+        active = active & si.valid
+        if bounce == max_depth:
+            break
+
+        u_mix = sample_dim(spec, px, py, sample_idx, base + 0)
+        lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
+                              u_mix, flags.has_tex_slot)
+        wo_local = si.world_to_local(si.wo)
+
+        # direct lighting from EVERY light (whitted.rs: sample all)
+        u_light = sample_2d(spec, px, py, sample_idx, base + 2)
+        for li in range(flags.n_lights):
+            idx = jnp.full((n,), li, jnp.int32)
+            ls = LT.sample_li(data.lights, data, idx, si.p, u_light,
+                              data.world_center, data.world_radius)
+            wi_local = si.world_to_local(ls.wi)
+            f = B.bsdf_f(lobes, wo_local, wi_local) * vm.absdot(ls.wi, si.ns)[:, None]
+            ok = active & (ls.pdf > 0) & ~B.black(f) & ~B.black(ls.li)
+            so = si.spawn_origin(ls.wi)
+            to_l = ls.p_light - so
+            dist = vm.length(to_l)
+            sd = to_l / jnp.maximum(dist, 1e-12)[:, None]
+            occ = intersect_p(data, flags, so, sd, dist * (1 - 1e-3))
+            contrib = f * ls.li / jnp.maximum(ls.pdf, 1e-12)[:, None]
+            L = L + jnp.where((ok & ~occ)[:, None], beta * contrib, 0.0)
+
+        # specular continuation only
+        u_lobe = sample_dim(spec, px, py, sample_idx, base + 4)
+        u_dir = sample_2d(spec, px, py, sample_idx, base + 5)
+        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir)
+        wi_world = si.local_to_world(bs.wi)
+        cos_w = vm.absdot(wi_world, si.ns)
+        ok = active & bs.is_specular & (bs.pdf > 0) & ~B.black(bs.f)
+        beta = jnp.where(ok[:, None],
+                         beta * bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-12))[:, None],
+                         beta)
+        active = ok
+        o = si.spawn_origin(wi_world)
+        d = wi_world
+
+    return L, p_film, ray_w

@@ -312,3 +312,130 @@ def light_power(kind, L_rgb, params, world_radius, env_mean=1.0):
     if kind == L_INFINITE:
         return np.pi * world_radius * world_radius * y * env_mean
     return y
+
+
+# ---------------------------------------------------------------------------
+# emission sampling (sample_le) — photon/BDPT light subpath starts
+# (core/src/light/mod.rs:144 sample_le per kind)
+# ---------------------------------------------------------------------------
+
+class LeSample(NamedTuple):
+    o: jnp.ndarray         # [N,3] ray origin
+    d: jnp.ndarray         # [N,3] ray dir
+    n_light: jnp.ndarray   # [N,3] light normal (for cos term)
+    le: jnp.ndarray        # [N,3]
+    pdf_pos: jnp.ndarray   # [N]
+    pdf_dir: jnp.ndarray   # [N]
+
+
+def sample_le(lights: LightTable, scene, light_idx, u1, u2,
+              world_center, world_radius) -> LeSample:
+    """Sample an emitted ray from per-lane light light_idx.
+
+    u1, u2: [N,2] random pairs (position, direction).
+    """
+    n = u1.shape[0]
+    li_idx = jnp.maximum(light_idx, 0)
+    kind = lights.kind[li_idx]
+    Lv = lights.L[li_idx]
+    pr = lights.params[li_idx]
+
+    # point family: origin at light, uniform sphere dir (spot: cone)
+    pos = pr[:, 0:3]
+    d_pt = uniform_sample_sphere(u1)
+    pdf_dir_pt = jnp.full((n,), INV_4PI)
+    # spot: sample inside the cone around its axis
+    sdir = pr[:, 3:6]
+    cos_total = pr[:, 6]
+    d_cone_local = uniform_sample_cone(u1, cos_total)
+    v1s, v2s = vm.coordinate_system(normalize(jnp.where((kind == L_SPOT)[:, None], sdir, jnp.array([0.0, 0, 1.0]))))
+    d_spot = d_cone_local[:, 0:1] * v1s + d_cone_local[:, 1:2] * v2s + d_cone_local[:, 2:3] * normalize(sdir)
+    is_spot = kind == L_SPOT
+    d_point = jnp.where(is_spot[:, None], d_spot, d_pt)
+    pdf_dir_point = jnp.where(is_spot, uniform_cone_pdf(cos_total), pdf_dir_pt)
+    fall = _spot_falloff(dot(d_point, sdir), pr[:, 6], pr[:, 7])
+    le_point = jnp.where(is_spot[:, None], Lv * fall[:, None], Lv)
+
+    # distant: disk of world radius perpendicular to direction
+    w_l = pr[:, 3:6]          # direction TO light
+    v1, v2 = vm.coordinate_system(normalize(-w_l + 1e-12))
+    from pbrt_tpu.core.sampling import concentric_sample_disk
+    cd = concentric_sample_disk(u1)
+    p_disk = world_center + world_radius * (cd[:, 0:1] * v1 + cd[:, 1:2] * v2)
+    o_dist = p_disk + w_l * world_radius
+    pdf_pos_dist = 1.0 / (PI * world_radius * world_radius)
+
+    # area: point on emitter, cosine hemisphere around normal
+    area_p, area_ng, area_pdf_pos = _area_point(lights, scene, li_idx, u1)
+    from pbrt_tpu.core.sampling import cosine_sample_hemisphere, cosine_hemisphere_pdf
+    hl = cosine_sample_hemisphere(u2)
+    av1, av2 = vm.coordinate_system(area_ng)
+    d_area = hl[:, 0:1] * av1 + hl[:, 1:2] * av2 + hl[:, 2:3] * area_ng
+    two_sided = pr[:, 5] > 0.5
+    flip = two_sided & (u2[:, 0] < 0.5)  # crude two-sided handling
+    d_area = jnp.where(flip[:, None], -d_area, d_area)
+    pdf_dir_area = cosine_hemisphere_pdf(jnp.abs(hl[:, 2]))
+
+    # infinite: direction from env importance (or uniform), origin on disk
+    inf = _sample_infinite(lights, li_idx,
+                           jnp.broadcast_to(world_center, (n, 3)), u2, world_radius)
+    d_inf = -inf.wi
+    iv1, iv2 = vm.coordinate_system(normalize(d_inf))
+    p_inf = world_center + world_radius * (-d_inf + cd[:, 0:1] * iv1 + cd[:, 1:2] * iv2)
+
+    is_point_fam = (kind == L_POINT) | (kind == L_SPOT) | (kind == L_PROJECTION) | (kind == L_GONIO)
+    is_dist = kind == L_DISTANT
+    is_area = kind == L_AREA
+    is_inf = kind == L_INFINITE
+
+    o = jnp.where(is_point_fam[:, None], pos,
+                  jnp.where(is_dist[:, None], o_dist,
+                            jnp.where(is_area[:, None], area_p, p_inf)))
+    d = jnp.where(is_point_fam[:, None], d_point,
+                  jnp.where(is_dist[:, None], -w_l,
+                            jnp.where(is_area[:, None], d_area, d_inf)))
+    nl = jnp.where(is_area[:, None], jnp.where(flip[:, None], -area_ng, area_ng),
+                   normalize(d))
+    le = jnp.where(is_point_fam[:, None], le_point,
+                   jnp.where(is_inf[:, None], inf.li, Lv))
+    pdf_pos = jnp.where(is_point_fam, 1.0,
+                        jnp.where(is_area, area_pdf_pos, pdf_pos_dist))
+    pdf_dir = jnp.where(is_point_fam, pdf_dir_point,
+                        jnp.where(is_dist, 1.0,
+                                  jnp.where(is_area, pdf_dir_area, inf.pdf)))
+    return LeSample(o + nl * 1e-4, d, nl, le, pdf_pos, jnp.maximum(pdf_dir, 1e-12))
+
+
+def _area_point(lights, scene, li_idx, u2):
+    """Uniform point on an area light's emitter surface.
+    Returns (p [N,3], ng [N,3], pdf_area [N])."""
+    n = u2.shape[0]
+    pr = lights.params[li_idx]
+    tri_start = pr[:, 2].astype(jnp.int32)
+    tri_count = jnp.maximum(pr[:, 3].astype(jnp.int32), 1)
+    cdf_off = pr[:, 6].astype(jnp.int32)
+    total_area = jnp.maximum(pr[:, 4], 1e-12)
+    C = lights.tri_cdf.shape[0]
+    u0 = u2[:, 0]
+    lo = jnp.zeros((n,), jnp.int32)
+    hi = tri_count
+    steps = max(1, int(np.ceil(np.log2(max(C, 2)))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        cv = lights.tri_cdf[jnp.clip(cdf_off + mid, 0, C - 1)]
+        go_right = cv <= u0
+        lo = jnp.where(go_right, jnp.minimum(mid + 1, tri_count), lo)
+        hi = jnp.where(go_right, hi, mid)
+    k = jnp.clip(lo, 0, tri_count - 1)
+    tri = jnp.clip(tri_start + k, 0, scene.tri_p0.shape[0] - 1)
+    c_lo = jnp.where(k > 0, lights.tri_cdf[jnp.clip(cdf_off + k - 1, 0, C - 1)], 0.0)
+    c_hi = lights.tri_cdf[jnp.clip(cdf_off + k, 0, C - 1)]
+    u0r = jnp.clip((u0 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-9), 0.0, vm.ONE_MINUS_EPSILON)
+    b = uniform_sample_triangle(jnp.stack([u0r, u2[:, 1]], -1))
+    p0 = scene.tri_p0[tri]
+    p1 = scene.tri_p1[tri]
+    p2 = scene.tri_p2[tri]
+    p = b[:, 0:1] * p0 + b[:, 1:2] * p1 + (1.0 - b[:, 0:1] - b[:, 1:2]) * p2
+    ngr = cross(p1 - p0, p2 - p0)
+    ng = ngr / jnp.maximum(vm.length(ngr), 1e-12)[:, None]
+    return p, ng, 1.0 / total_area

@@ -32,11 +32,16 @@ def _sample_pixels(cs):
 def _li_fn(cs):
     kind = cs.integrator_kind
     p = cs.integrator_params
-    if kind in ("path", "volpath"):
+    if kind == "path":
         from pbrt_tpu.integrators.path import li_path
         max_depth = int(p.get("maxdepth", [5])[0])
         rr = float(p.get("rrthreshold", [1.0])[0])
         return functools.partial(li_path, max_depth=max_depth, rr_threshold=rr)
+    if kind == "volpath":
+        from pbrt_tpu.integrators.volpath import li_volpath
+        max_depth = int(p.get("maxdepth", [5])[0])
+        rr = float(p.get("rrthreshold", [1.0])[0])
+        return functools.partial(li_volpath, max_depth=max_depth, rr_threshold=rr)
     if kind == "whitted":
         from pbrt_tpu.integrators.whitted import li_whitted
         return functools.partial(li_whitted, max_depth=int(p.get("maxdepth", [5])[0]))

@@ -57,6 +57,9 @@ class ShapeRecord:
     material: int = -1
     area_light: int = -1            # filled when an area light wraps this
     reverse_orientation: bool = False
+    medium_inside: str = ""
+    medium_outside: str = ""
+
 
 
 @dataclasses.dataclass
@@ -117,6 +120,8 @@ class SceneDescription:
         self.camera_times = (0.0, 1.0)
         self.sampler_kind = "halton"
         self.sampler_params = ParamSet()
+        self.camera_medium_name = ""
+
         self.film_params = ParamSet()
         self.filter_kind = "box"
         self.filter_params = ParamSet()
@@ -212,6 +217,7 @@ class Api:
     def camera(self, kind, ps):
         self.scene.camera_kind = kind
         self.scene.camera_params = ps
+        self.scene.camera_medium_name = self.gs.medium_outside
         # CTM here is world->camera; camera_to_world is its inverse
         self.scene.camera_to_world = (self.ctm.t[0].inverse(), self.ctm.t[1].inverse())
         self.named_coord_systems["camera"] = self.ctm.clone()
@@ -324,6 +330,8 @@ class Api:
         for rec in records:
             rec.material = self.gs.material
             rec.reverse_orientation = self.gs.reverse_orientation
+            rec.medium_inside = self.gs.medium_inside
+            rec.medium_outside = self.gs.medium_outside
             if self.gs.area_light is not None:
                 akind, aps = self.gs.area_light
                 li = len(self.scene.lights)

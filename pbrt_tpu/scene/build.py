@@ -110,9 +110,12 @@ def compile_textures(decls, cwd="."):
 
 def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> CompiledScene:
     # ---- geometry: concat meshes, collect quadrics ----
+    from pbrt_tpu.media import compile_media
+    media_tab, med_ids = compile_media(desc.media)
     tri_p, tri_n, tri_uv, tri_prim, tri_has_n = [], [], [], [], []
     quads = []
     prim_material, prim_light, prim_rev = [], [], []
+    prim_medium = []
     shape_tri_range = {}   # shape index -> (start, count) for area lights
     shape_quad_index = {}
 
@@ -121,6 +124,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         pid = len(prim_material)
         prim_material.append(rec.material)
         prim_light.append(rec.area_light)
+        prim_medium.append((med_ids.get(rec.medium_inside, -1),
+                            med_ids.get(rec.medium_outside, -1)))
         if rec.mesh is not None:
             m = rec.mesh
             rev = rec.reverse_orientation ^ m.transform_swaps_handedness
@@ -180,6 +185,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
 
     if not prim_material:
         prim_material, prim_light, prim_rev = [0], [-1], [False]
+        prim_medium = [(-1, -1)]
 
     # ---- BVH over triangles ----
     lo = tp.min(axis=1)
@@ -366,7 +372,10 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         jnp.asarray(np.asarray(prim_material, np.int32)),
         jnp.asarray(np.asarray(prim_light, np.int32)),
         jnp.asarray(np.asarray(prim_rev, bool)),
+        jnp.asarray(np.asarray(prim_medium, np.int32).reshape(-1, 2)),
         mats, tex, light_tab, light_distr,
+        media_tab,
+        jnp.asarray(np.int32(med_ids.get(desc.camera_medium_name, -1))),
         jnp.asarray(wc.astype(np.float32)), jnp.asarray(np.float32(wr)))
 
     flags = SceneFlags(
@@ -375,7 +384,9 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         has_infinite=any(k == L_INFINITE for k in l_kind[:n_lights]),
         has_area_lights=any(k == L_AREA for k in l_kind[:n_lights]),
         use_bvh=use_bvh, has_tex_slot=has_tex_slot,
-        any_normals=bool(thn.any()), any_uv=True)
+        any_normals=bool(thn.any()), any_uv=True,
+        n_media=len(desc.media),
+        any_grid_media=bool(np.any(np.asarray(media_tab.kind) == 1)) and len(desc.media) > 0)
 
     # ---- specs ----
     res_params = desc.film_params

@@ -158,6 +158,20 @@ def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max) -> SurfaceIntera
     ng = jnp.where(rev[:, None], -ng, ng)
     ns = jnp.where(rev[:, None], -ns, ns)
 
+    # sanitize miss lanes: garbage positions (1e30 sentinels) overflow f32
+    # in downstream distance math and poison reverse-mode AD through where()
+    # (the double-where problem) — replace with benign finite values
+    safe3 = lambda v, alt: jnp.where(any_hit[:, None], jnp.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0), alt)
+    up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (N, 3))
+    p = safe3(p, 0.0)
+    perr = safe3(perr, 0.0)
+    ng = safe3(ng, up)
+    ns = safe3(ns, up)
+    uv = jnp.where(any_hit[:, None], jnp.nan_to_num(uv), 0.0)
+    dpdu = safe3(dpdu, up)
+    dpdv = safe3(dpdv, up)
+    t = jnp.where(any_hit, t, 1e20)
+
     ss, ts = make_frame(ns, dpdu)
     material = jnp.where(any_hit, scene.prim_material[jnp.maximum(prim, 0)], -1)
     area_light = jnp.where(any_hit, scene.prim_light[jnp.maximum(prim, 0)], -1)

@@ -119,7 +119,13 @@ def parse_tokens(tokens: List[str], api, cwd: str = "."):
         elif d in ("Include", "Import"):
             path = _unquote(s.next())
             full = path if os.path.isabs(path) else os.path.join(cwd, path)
-            parse_file(full, api)
+            if os.path.exists(full):
+                parse_file(full, api)
+            else:
+                # missing include: log + skip, keep compiling the rest
+                # (reference logs and errors per-file, bin/src/main.rs:63-66)
+                import logging
+                logging.getLogger(__name__).warning("Include not found: %s", full)
         elif d == "Texture":
             name = _unquote(s.next())
             ttype = _unquote(s.next())     # "float" | "color" | "spectrum"

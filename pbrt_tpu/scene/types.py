@@ -40,11 +40,14 @@ class SceneData(NamedTuple):
     prim_material: jnp.ndarray   # [P]
     prim_light: jnp.ndarray      # [P] area light id or -1
     prim_rev: jnp.ndarray        # [P] reverse_orientation xor swaps_handedness
+    prim_medium: jnp.ndarray     # [P,2] (inside, outside) medium ids, -1 vacuum
     # tables
     mats: MaterialTable
     tex: TextureTable
     lights: LightTable
     light_distr: Distribution1D  # power-weighted light selection
+    media: object                # MediumTable
+    camera_medium: jnp.ndarray   # scalar int32 (-1 vacuum)
     # bounds
     world_center: jnp.ndarray    # [3]
     world_radius: jnp.ndarray    # scalar
@@ -63,6 +66,8 @@ class SceneFlags:
     has_tex_slot: Tuple[bool, ...]
     any_normals: bool
     any_uv: bool
+    n_media: int = 0
+    any_grid_media: bool = False
 
 
 @dataclasses.dataclass

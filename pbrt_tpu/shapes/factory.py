@@ -22,6 +22,10 @@ def make_shapes(kind: str, ps: ParamSet, o2w, api):
     if kind == "plymesh":
         fname = ps.find_one_string("filename", "")
         path = fname if os.path.isabs(fname) else os.path.join(api.cwd if hasattr(api, "cwd") else ".", fname)
+        if not os.path.exists(path):
+            import logging
+            logging.getLogger(__name__).warning("PLY not found: %s", path)
+            return []
         v, n, uv, f = read_ply(path)
         mesh = TriangleMeshData(f.astype(np.int32),
                                 np.asarray(o2w.point(v), np.float32),

@@ -1,0 +1,78 @@
+"""Cross-integrator consistency: every transport algorithm must agree on
+simple scenes (they estimate the same integral)."""
+import numpy as np
+import pytest
+
+from pbrt_tpu.scene import load_scene_string
+from pbrt_tpu.render import render
+
+
+def scene_with(integrator_line):
+    return f"""
+LookAt 0 2 6  0 1 0  0 1 0
+Camera "perspective" "float fov" 40
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Sampler "02sequence" "integer pixelsamples" 32
+{integrator_line}
+WorldBegin
+LightSource "point" "point from" [0 4 2] "rgb I" [40 40 40]
+AttributeBegin
+  Material "matte" "rgb Kd" [0.6 0.4 0.3]
+  Translate 0 1 0
+  Shape "sphere" "float radius" 1
+AttributeEnd
+AttributeBegin
+  Material "matte" "rgb Kd" [0.5 0.5 0.5]
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [-10 0 -10  10 0 -10  10 0 10  -10 0 10]
+AttributeEnd
+WorldEnd
+"""
+
+
+@pytest.fixture(scope="module")
+def path_ref():
+    img = render(load_scene_string(scene_with(
+        'Integrator "path" "integer maxdepth" 3')))
+    return img
+
+
+def test_volpath_matches_path_without_media(path_ref):
+    img = render(load_scene_string(scene_with(
+        'Integrator "volpath" "integer maxdepth" 3')))
+    np.testing.assert_allclose(img.mean(), path_ref.mean(), rtol=0.05)
+
+
+def test_whitted_captures_direct(path_ref):
+    img = render(load_scene_string(scene_with(
+        'Integrator "whitted" "integer maxdepth" 3')))
+    # whitted = direct only: between 50% and 100% of path's energy here
+    assert 0.4 * path_ref.mean() < img.mean() <= 1.02 * path_ref.mean()
+
+
+def test_direct_lighting_between(path_ref):
+    img = render(load_scene_string(scene_with(
+        'Integrator "directlighting" "integer maxdepth" 3')))
+    assert 0.4 * path_ref.mean() < img.mean() <= 1.02 * path_ref.mean()
+
+
+def test_sppm_runs_and_is_sane(path_ref):
+    img = render(load_scene_string(scene_with(
+        'Integrator "sppm" "integer numiterations" [16] "float radius" [0.4] '
+        '"integer maxdepth" 3')))
+    # photon estimators converge slowly; just demand same order of magnitude
+    assert 0.3 * path_ref.mean() < img.mean() < 3.0 * path_ref.mean()
+
+
+def test_mlt_brightness_matches_path(path_ref):
+    img = render(load_scene_string(scene_with(
+        'Integrator "mlt" "integer maxdepth" 3 "integer bootstrapsamples" [8192] '
+        '"integer chains" [1024] "integer mutationsperpixel" [60]')))
+    # MLT normalizes absolute brightness through b — mean must agree
+    np.testing.assert_allclose(img.mean(), path_ref.mean(), rtol=0.25)
+
+
+def test_bdpt_same_order(path_ref):
+    img = render(load_scene_string(scene_with(
+        'Integrator "bdpt" "integer maxdepth" 3')))
+    assert 0.4 * path_ref.mean() < img.mean() < 2.0 * path_ref.mean()
