@@ -57,13 +57,22 @@ def _morton3(x):
     return expand(x[:, 0]) | (expand(x[:, 1]) << np.uint64(1)) | (expand(x[:, 2]) << np.uint64(2))
 
 
-def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
-              leaf_size: int = MAX_LEAF_PRIMS) -> BVH:
-    """Build from per-primitive world bounds ([T,3] lo/hi). Host numpy.
+SPLIT_IDS = {"sah": 0, "hlbvh": 1, "middle": 2, "equal": 3, "equalcounts": 3}
 
-    Morton-sorted recursive bit-split (HLBVH topology, bvh/hlbvh.rs) with a
-    midpoint fallback; flattened depth-first.
+
+def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
+              leaf_size: int = MAX_LEAF_PRIMS,
+              split_method: str = "sah") -> BVH:
+    """Build from per-primitive world bounds ([T,3] lo/hi) on the host.
+
+    Prefers the native C++ builder (pbrt_tpu/native/bvh_builder.cpp) which
+    implements all 4 reference split modes (binned SAH / HLBVH / middle /
+    equal-counts, accelerators/src/bvh/common.rs:27-37); falls back to the
+    numpy Morton builder below when no compiler is available.
     """
+    native = _build_bvh_native(prim_lo, prim_hi, leaf_size, split_method)
+    if native is not None:
+        return native
     T = prim_lo.shape[0]
     assert T > 0
     cent = 0.5 * (prim_lo + prim_hi)
@@ -130,6 +139,39 @@ def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
     return BVH(jnp.asarray(b_lo[:M]), jnp.asarray(b_hi[:M]),
                jnp.asarray(right[:M]), jnp.asarray(offs[:M]),
                jnp.asarray(cnts[:M]), jnp.asarray(axis_arr[:M]),
+               jnp.asarray(order))
+
+
+def _build_bvh_native(prim_lo, prim_hi, leaf_size, split_method):
+    from pbrt_tpu import native
+    import ctypes
+    fn = native.bvh_builder()
+    if fn is None:
+        return None
+    T = int(prim_lo.shape[0])
+    lo = np.ascontiguousarray(prim_lo, np.float32)
+    hi = np.ascontiguousarray(prim_hi, np.float32)
+    cap = max(2 * T, 2)
+    b_lo = np.empty((cap, 3), np.float32)
+    b_hi = np.empty((cap, 3), np.float32)
+    right = np.empty(cap, np.int32)
+    offs = np.empty(cap, np.int32)
+    cnts = np.empty(cap, np.int32)
+    ax = np.empty(cap, np.int32)
+    order = np.empty(T, np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    m = fn(lo.ctypes.data_as(fp), hi.ctypes.data_as(fp), T, leaf_size,
+           SPLIT_IDS.get(split_method, 0),
+           b_lo.ctypes.data_as(fp), b_hi.ctypes.data_as(fp),
+           right.ctypes.data_as(ip), offs.ctypes.data_as(ip),
+           cnts.ctypes.data_as(ip), ax.ctypes.data_as(ip),
+           order.ctypes.data_as(ip))
+    if m <= 0:
+        return None
+    return BVH(jnp.asarray(b_lo[:m]), jnp.asarray(b_hi[:m]),
+               jnp.asarray(right[:m]), jnp.asarray(offs[:m]),
+               jnp.asarray(cnts[:m]), jnp.asarray(ax[:m]),
                jnp.asarray(order))
 
 
