@@ -48,6 +48,61 @@ class SurfaceInteraction(NamedTuple):
         (interaction/mod.rs:189 spawn_ray)."""
         return vm.offset_ray_origin(self.p, self.p_err + 1e-5, self.ng, w)
 
+    @property
+    def duv(self):
+        return (self.dudx, self.dvdx, self.dudy, self.dvdy)
+
+
+def compute_differentials(si: SurfaceInteraction, rays) -> SurfaceInteraction:
+    """Fill dudx/dvdx/dudy/dvdy from camera ray differentials
+    (surface_interaction.rs:203 compute_differentials): intersect the
+    auxiliary rays with the tangent plane at p, then least-squares solve
+    duv from dpdx/dpdy against (dpdu, dpdv). Fully vectorized; lanes with
+    degenerate geometry fall back to zeros (-> mip level 0)."""
+    if rays.rx_o is None:
+        return si
+    n, p = si.ng, si.p
+    d_plane = dot(n, p)
+
+    def plane_hit(o, d):
+        denom = dot(n, d)
+        tt = (d_plane - dot(n, o)) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        return o + tt[:, None] * d, jnp.abs(denom) > 1e-9
+
+    px, okx = plane_hit(rays.rx_o, rays.rx_d)
+    py, oky = plane_hit(rays.ry_o, rays.ry_d)
+    dpdx = px - p
+    dpdy = py - p
+
+    # pick the two coordinate axes where |n| is smallest (book 10.1.1)
+    an = jnp.abs(n)
+    # dims: if nx largest -> use (y,z); ny largest -> (x,z); else (x,y)
+    use_yz = (an[:, 0] > an[:, 1]) & (an[:, 0] > an[:, 2])
+    use_xz = ~use_yz & (an[:, 1] > an[:, 2])
+    d0 = jnp.where(use_yz, 1, 0)
+    d1 = jnp.where(use_yz | use_xz, 2, 1)
+    lanes = jnp.arange(p.shape[0])
+
+    def pick2(v):
+        return jnp.stack([v[lanes, d0], v[lanes, d1]], -1)
+
+    A0 = pick2(si.dpdu)
+    A1 = pick2(si.dpdv)
+    det = A0[:, 0] * A1[:, 1] - A1[:, 0] * A0[:, 1]
+    ok = (jnp.abs(det) > 1e-12) & okx & oky & si.valid
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+
+    def solve(b2):
+        du = (b2[:, 0] * A1[:, 1] - b2[:, 1] * A1[:, 0]) * inv_det
+        dv = (b2[:, 1] * A0[:, 0] - b2[:, 0] * A0[:, 1]) * inv_det
+        return du, dv
+
+    dudx, dvdx = solve(pick2(dpdx))
+    dudy, dvdy = solve(pick2(dpdy))
+    clampf = lambda v: jnp.where(ok, jnp.clip(jnp.nan_to_num(v), -1e8, 1e8), 0.0)
+    return si._replace(dudx=clampf(dudx), dvdx=clampf(dvdx),
+                       dudy=clampf(dudy), dvdy=clampf(dvdy))
+
 
 def make_frame(si_ns, dpdu):
     """Orthonormal shading frame from ns + dpdu (bsdf.rs constructor)."""

@@ -20,6 +20,7 @@ from pbrt_tpu.materials import compute_lobes
 from pbrt_tpu.materials import bsdf as B
 from pbrt_tpu import lights as LT
 from pbrt_tpu.scene.intersect import intersect
+from pbrt_tpu.core.interaction import compute_differentials
 from pbrt_tpu.integrators.common import (bounce_base, camera_rays,
                                          sample_one_light, light_pdf_for_dir,
                                          infinite_pdf_for_dir)
@@ -74,6 +75,11 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
     for bounce in range(max_depth + 1):
         base = bounce_base(bounce)
         si = intersect(data, flags, o, normalize(d), jnp.full((n,), vm.INF))
+        if bounce == 0:
+            # camera-ray differentials -> uv screen derivatives for texture
+            # mip filtering (surface_interaction.rs:203); deeper bounces use
+            # level-0 lookups like the reference's non-specular paths
+            si = compute_differentials(si, rays)
 
         # ---- emitted radiance (hit emitters / escaped to infinite) ----
         if flags.has_infinite:
@@ -104,7 +110,8 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         # ---- material stage ----
         u_mix = sample_dim_(base + 0)
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
-                              u_mix, flags.has_tex_slot)
+                              u_mix, flags.has_tex_slot,
+                              duv=si.duv if bounce == 0 else None)
 
         # ---- NEE ----
         u_sel = sample_dim_(base + 1)

@@ -22,6 +22,7 @@ _LIBS: dict = {}
 
 _SOURCES = {
     "bvh_builder": ["bvh_builder.cpp"],
+    "kdtree_builder": ["kdtree_builder.cpp"],
 }
 
 

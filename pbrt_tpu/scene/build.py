@@ -14,6 +14,7 @@ from pbrt_tpu.scene.api import SceneDescription
 from pbrt_tpu.scene.types import SceneData, SceneFlags, CompiledScene
 from pbrt_tpu.scene.paramset import ParamSet
 from pbrt_tpu.accel.bvh import build_bvh, BVH
+from pbrt_tpu.accel.kdtree import build_kdtree, KdTree
 from pbrt_tpu.materials import compile_materials, MaterialTable
 from pbrt_tpu.textures import TextureTable, KIND_IDS as TEX_KIND_IDS
 from pbrt_tpu.textures.image import load_image, build_atlas
@@ -102,10 +103,11 @@ def compile_textures(decls, cwd="."):
             image_id[i] = image_cache[path]
             params[i, 0:3] = ps.find_one_float("scale", 1.0)
 
-    atlas, sizes = build_atlas(images)
+    atlas, sizes, nlevels = build_atlas(images)
     return TextureTable(jnp.asarray(kind), jnp.asarray(params), jnp.asarray(child),
                         jnp.asarray(w2t), jnp.asarray(image_id),
-                        jnp.asarray(atlas), jnp.asarray(sizes))
+                        jnp.asarray(atlas), jnp.asarray(sizes),
+                        jnp.asarray(nlevels))
 
 
 def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> CompiledScene:
@@ -191,8 +193,21 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     lo = tp.min(axis=1)
     hi = tp.max(axis=1)
     eps = 1e-5 * np.maximum(np.abs(lo) + np.abs(hi), 1.0)
-    bvh = build_bvh(lo - eps, hi + eps)
+    split_method = desc.accelerator_params.find_one_string("splitmethod", "sah")
+    bvh = build_bvh(lo - eps, hi + eps, split_method=split_method)
     use_bvh = n_tri_real >= MIN_BVH_TRIS
+    accel = "bvh"
+    kd = None
+    if desc.accelerator_kind == "kdtree" and use_bvh:
+        kd = build_kdtree(lo - eps, hi + eps)
+        if kd is not None:
+            accel = "kdtree"
+    if kd is None:  # 1-node placeholder keeps the pytree structure static
+        z1 = np.zeros(1, np.int32)
+        kd = KdTree(jnp.asarray(np.full(1, 3, np.int32)), jnp.zeros(1, jnp.float32),
+                    jnp.asarray(z1), jnp.asarray(z1), jnp.asarray(z1),
+                    jnp.asarray(z1), jnp.zeros(3, jnp.float32),
+                    jnp.zeros(3, jnp.float32))
 
     # ---- world bounds ----
     pts = [lo, hi]
@@ -368,7 +383,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         jnp.asarray(tn), jnp.asarray(thn), jnp.asarray(tuv), jnp.asarray(tprim),
         jnp.asarray(qt), jnp.asarray(qo2w), jnp.asarray(qw2o), jnp.asarray(qp),
         jnp.asarray(qprim),
-        bvh,
+        bvh, kd,
         jnp.asarray(np.asarray(prim_material, np.int32)),
         jnp.asarray(np.asarray(prim_light, np.int32)),
         jnp.asarray(np.asarray(prim_rev, bool)),
@@ -383,7 +398,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         n_materials=len(desc.materials),
         has_infinite=any(k == L_INFINITE for k in l_kind[:n_lights]),
         has_area_lights=any(k == L_AREA for k in l_kind[:n_lights]),
-        use_bvh=use_bvh, has_tex_slot=has_tex_slot,
+        use_bvh=use_bvh, accel=accel, has_tex_slot=has_tex_slot,
         any_normals=bool(thn.any()), any_uv=True,
         n_media=len(desc.media),
         any_grid_media=bool(np.any(np.asarray(media_tab.kind) == 1)) and len(desc.media) > 0)

@@ -17,6 +17,7 @@ from pbrt_tpu.core import math as vm
 from pbrt_tpu.core.math import normalize, cross, dot
 from pbrt_tpu.core.interaction import SurfaceInteraction, make_frame
 from pbrt_tpu.accel.traverse import intersect_bvh, intersect_bruteforce
+from pbrt_tpu.accel.kdtree import intersect_kdtree
 from pbrt_tpu.shapes.triangle import triangle_shading
 from pbrt_tpu.shapes import quadrics as Q
 from pbrt_tpu.scene.types import SceneData, SceneFlags
@@ -96,7 +97,10 @@ def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max) -> SurfaceIntera
 
     # triangles
     if flags.n_tris > 0:
-        if flags.use_bvh:
+        if flags.use_bvh and flags.accel == "kdtree":
+            th = intersect_kdtree(scene.kd, scene.tri_p0, scene.tri_p1,
+                                  scene.tri_p2, o, d, t_best)
+        elif flags.use_bvh:
             th = intersect_bvh(scene.bvh, scene.tri_p0, scene.tri_p1,
                                scene.tri_p2, o, d, t_best)
         else:
@@ -187,7 +191,10 @@ def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max):
     """Any-hit (shadow rays). Returns [N] bool occluded."""
     occluded = jnp.zeros(o.shape[:1], bool)
     if flags.n_tris > 0:
-        if flags.use_bvh:
+        if flags.use_bvh and flags.accel == "kdtree":
+            th = intersect_kdtree(scene.kd, scene.tri_p0, scene.tri_p1,
+                                  scene.tri_p2, o, d, t_max, any_hit=True)
+        elif flags.use_bvh:
             th = intersect_bvh(scene.bvh, scene.tri_p0, scene.tri_p1,
                                scene.tri_p2, o, d, t_max, any_hit=True)
         else:

@@ -13,6 +13,7 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 
 from pbrt_tpu.accel.bvh import BVH
+from pbrt_tpu.accel.kdtree import KdTree
 from pbrt_tpu.materials import MaterialTable
 from pbrt_tpu.textures import TextureTable
 from pbrt_tpu.lights import LightTable
@@ -34,8 +35,10 @@ class SceneData(NamedTuple):
     quad_w2o: jnp.ndarray     # [Q,4,4]
     quad_params: jnp.ndarray  # [Q,8]
     quad_prim: jnp.ndarray    # [Q]
-    # acceleration
+    # acceleration (bvh always present; kd populated when the scene's
+    # Accelerator directive selects "kdtree", else a 1-node placeholder)
     bvh: BVH
+    kd: KdTree
     # primitive records
     prim_material: jnp.ndarray   # [P]
     prim_light: jnp.ndarray      # [P] area light id or -1
@@ -63,6 +66,7 @@ class SceneFlags:
     has_infinite: bool
     has_area_lights: bool
     use_bvh: bool               # False -> brute force (tiny scenes)
+    accel: str                  # "bvh" | "kdtree" (Accelerator directive)
     has_tex_slot: Tuple[bool, ...]
     any_normals: bool
     any_uv: bool

@@ -51,10 +51,11 @@ class TextureTable(NamedTuple):
     child: jnp.ndarray
     w2t: jnp.ndarray
     image_id: jnp.ndarray
-    # image atlas (all imagemaps resampled into one array); level 0 only here,
-    # mip chain handled by textures/image.py
-    atlas: jnp.ndarray        # [n_images, H, W, 3] (padded)
-    atlas_size: jnp.ndarray   # [n_images, 2] (w, h)
+    # image atlas: every image Lanczos-resampled to a square pow2 and packed
+    # as a "mip strip" (level 0 + stacked levels; textures/image.py)
+    atlas: jnp.ndarray         # [n_images, S, S + S//2, 3]
+    atlas_size: jnp.ndarray    # [n_images, 2] (S, S)
+    atlas_levels: jnp.ndarray  # [n_images] number of mip levels
 
 
 # ---------------------------------------------------------------------------
@@ -149,7 +150,8 @@ def _map_p3(w2t, p):
 # evaluation
 # ---------------------------------------------------------------------------
 
-def eval_texture(tex: TextureTable, tex_id, uv, p, depth: int = MAX_TEX_DEPTH):
+def eval_texture(tex: TextureTable, tex_id, uv, p, depth: int = MAX_TEX_DEPTH,
+                 duv=None):
     """[N,3] value of per-lane texture ids (-1 -> zeros)."""
     tid = jnp.maximum(tex_id, 0)
     kind = tex.kind[tid]
@@ -163,9 +165,9 @@ def eval_texture(tex: TextureTable, tex_id, uv, p, depth: int = MAX_TEX_DEPTH):
     child = tex.child[tid]
     # child fallbacks: -1 means "use packed constant color"
     c1 = jnp.where((child[:, 0] >= 0)[:, None],
-                   eval_texture(tex, child[:, 0], uv, p, depth - 1), params[:, 0:3])
+                   eval_texture(tex, child[:, 0], uv, p, depth - 1, duv), params[:, 0:3])
     c2 = jnp.where((child[:, 1] >= 0)[:, None],
-                   eval_texture(tex, child[:, 1], uv, p, depth - 1), params[:, 3:6])
+                   eval_texture(tex, child[:, 1], uv, p, depth - 1, duv), params[:, 3:6])
 
     st = _map_st(params, w2t, uv, p)
     p3 = _map_p3(w2t, p)
@@ -237,10 +239,17 @@ def eval_texture(tex: TextureTable, tex_id, uv, p, depth: int = MAX_TEX_DEPTH):
         0.0, 1.0)
     marble_c = _marble_spline(tmarb)
     out = jnp.where((kind == T_MARBLE)[:, None], marble_c, out)
-    # imagemap
+    # imagemap: anisotropic mip filtering when screen-space differentials
+    # are tracked (EWA re-design, textures/image.py), bilinear L0 otherwise
     if tex.atlas.shape[0] > 0:
-        from pbrt_tpu.textures.image import sample_atlas
-        img = sample_atlas(tex, tid, st)
+        from pbrt_tpu.textures.image import sample_atlas, sample_atlas_aniso
+        if duv is None:
+            img = sample_atlas(tex, tid, st)
+        else:
+            us, vs = params[:, 7], params[:, 8]
+            dst0 = jnp.stack([duv[0] * us, duv[1] * vs], -1)
+            dst1 = jnp.stack([duv[2] * us, duv[3] * vs], -1)
+            img = sample_atlas_aniso(tex, tid, st, dst0, dst1)
         out = jnp.where((kind == T_IMAGEMAP)[:, None], img, out)
     return jnp.where((tex_id < 0)[:, None], 0.0, out)
 
