@@ -4,18 +4,30 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Runs on whatever jax backend is active (TPU under the driver; JAX_PLATFORMS
 honored). Counts TOTAL rays traced (camera + bounce + shadow) per wall
 second after warmup, the standard Mrays/s accounting.
+
+The wavefront is dispatched in fixed-size chunks (BENCH_CHUNK) so a single
+device launch stays well under any RPC/watchdog limit; total rays scale with
+BENCH_RAYS regardless of chunk size.
 """
 import json
 import os
 import sys
 import time
 
-import numpy as np
-
 
 def main():
     import jax
+    # persistent compile cache: repeated bench runs (and the driver's) skip
+    # the multi-minute XLA compile of the unrolled path tracer
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
+    import numpy as np
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _build_scene
     from pbrt_tpu.integrators.path import li_path
@@ -25,27 +37,34 @@ def main():
 
     def fn(px, py, sidx):
         L, p_film, w = li_path(cs, px, py, sidx, max_depth=max_depth)
-        return L
+        return jnp.sum(L)
 
-    n = int(os.environ.get("BENCH_RAYS", 1 << 17))
-    rng = np.random.default_rng(0)
-    px = jnp.asarray(rng.integers(0, 64, n), jnp.int32)
-    py = jnp.asarray(rng.integers(0, 64, n), jnp.int32)
+    total = int(os.environ.get("BENCH_RAYS", 1 << 17))
+    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 14))
+    chunk = min(chunk, total)
+    # coherent wavefront: consecutive pixels in raster order with spp
+    # repeats — the order real renders dispatch (render.py), and the order
+    # that keeps lockstep BVH lanes coherent
+    lin = np.arange(chunk, dtype=np.int64) % (64 * 64)
+    px = jnp.asarray(lin % 64, jnp.int32)
+    py = jnp.asarray(lin // 64, jnp.int32)
 
     jfn = jax.jit(fn)
-    # warmup / compile
-    jfn(px, py, jnp.zeros(n, jnp.int32)).block_until_ready()
+    jfn(px, py, jnp.zeros(chunk, jnp.int32)).block_until_ready()  # compile
 
     iters = int(os.environ.get("BENCH_ITERS", 8))
+    n_chunks = max(total // chunk, 1)
     t0 = time.time()
+    acc = None
     for i in range(iters):
-        out = jfn(px, py, jnp.full(n, i + 1, jnp.int32))
-    out.block_until_ready()
+        for c in range(n_chunks):
+            acc = jfn(px, py, jnp.full(chunk, i * n_chunks + c + 1, jnp.int32))
+    acc.block_until_ready()
     dt = time.time() - t0
 
     # rays per path sample: camera(1) + per bounce (1 shadow + 1 bsdf) x depth
     rays_per_sample = 1 + 2 * max_depth
-    total_rays = n * iters * rays_per_sample
+    total_rays = chunk * n_chunks * iters * rays_per_sample
     mrays = total_rays / dt / 1e6
     baseline = 100.0  # BASELINE.json north star: 100 Mrays/s/chip
     print(json.dumps({

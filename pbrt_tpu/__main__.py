@@ -28,6 +28,8 @@ def main(argv=None):
                     help="shard over N devices (0 = all)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stats", action="store_true", help="print statistics")
+    ap.add_argument("--preview", type=int, default=0, metavar="N",
+                    help="write the in-progress image every N sample batches")
     ap.add_argument("--platform", default="",
                     help="force a jax platform (cpu/tpu) even when the "
                          "environment pre-pins one")
@@ -36,12 +38,21 @@ def main(argv=None):
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    # persistent XLA compile cache (integrator graphs take minutes cold)
+    import os
+    import jax as _jax
+    try:
+        _jax.config.update("jax_compilation_cache_dir",
+                           os.path.expanduser("~/.cache/pbrt_tpu_xla"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from pbrt_tpu.utils.options import set_options
     opts = set_options(quick=args.quick, quiet=args.quiet, outfile=args.outfile,
                        crop_window=tuple(args.cropwindow) if args.cropwindow else None,
                        sppm_radius=args.sppm_radius, wavefront_size=args.wavefront,
-                       seed=args.seed)
+                       seed=args.seed, preview_every=args.preview)
 
     from pbrt_tpu.render import render_file
     from pbrt_tpu.utils.stats import STATS

@@ -13,10 +13,8 @@ Reference: accelerators/src/bvh/ (SAH/HLBVH builders, LinearBVHNode flatten,
     iteration count (SIMT-style divergence -> masking). Per-ray stacks live
     in a [N, DEPTH] register array.
 
-kd-tree parity note: the reference also ships a kd-tree accelerator. On TPU a
-second divergent tree walk buys nothing over the BVH (same gather-bound
-pattern, worse memory layout), so the "kdtree" Accelerator directive maps to
-this BVH (documented capability equivalence, not omission).
+The kd-tree accelerator lives in accel/kdtree.py (native C++ SAH build +
+its own lockstep traversal), selected by `Accelerator "kdtree"`.
 """
 from __future__ import annotations
 
@@ -31,7 +29,12 @@ TRAVERSAL_STACK = 64
 
 
 class BVH(NamedTuple):
-    """Flattened BVH as device arrays (pytree)."""
+    """Flattened BVH as device arrays (pytree).
+
+    `packed` is the traversal-optimized mirror: one 16-f32 record per node
+    [child_l lo(3) hi(3), child_r lo(3) hi(3), right/count/offset/axis as
+    bitcast i32] so each while-loop iteration gathers ONE contiguous row
+    instead of ~8 separate arrays (HBM gather latency dominates traversal)."""
     bounds_lo: jnp.ndarray    # [M, 3]
     bounds_hi: jnp.ndarray    # [M, 3]
     right_child: jnp.ndarray  # [M] int32: index of second child (interior)
@@ -39,10 +42,28 @@ class BVH(NamedTuple):
     prim_count: jnp.ndarray   # [M] int32
     axis: jnp.ndarray         # [M] int32 split axis
     prim_order: jnp.ndarray   # [T] int32: bvh leaf order -> original prim id
+    packed: jnp.ndarray       # [M, 16] f32 (see above)
 
     @property
     def n_nodes(self):
         return self.bounds_lo.shape[0]
+
+
+def _pack_nodes(b_lo, b_hi, right, offs, cnts, axis_arr):
+    """Build the single-gather node records (host numpy)."""
+    M = b_lo.shape[0]
+    rec = np.zeros((M, 16), np.float32)
+    interior = cnts == 0
+    left = np.arange(M) + 1
+    l = np.where(interior, np.minimum(left, M - 1), 0)
+    r = np.where(interior, np.maximum(right, 0), 0)
+    rec[:, 0:3] = b_lo[l]
+    rec[:, 3:6] = b_hi[l]
+    rec[:, 6:9] = b_lo[r]
+    rec[:, 9:12] = b_hi[r]
+    ints = np.stack([right, cnts, offs, axis_arr], -1).astype(np.int32)
+    rec[:, 12:16] = ints.view(np.float32)
+    return rec
 
 
 def _morton3(x):
@@ -136,10 +157,12 @@ def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
 
     emit(0, T, 29)
     M = next_node[0]
+    rec = _pack_nodes(b_lo[:M], b_hi[:M], right[:M], offs[:M], cnts[:M],
+                      axis_arr[:M])
     return BVH(jnp.asarray(b_lo[:M]), jnp.asarray(b_hi[:M]),
                jnp.asarray(right[:M]), jnp.asarray(offs[:M]),
                jnp.asarray(cnts[:M]), jnp.asarray(axis_arr[:M]),
-               jnp.asarray(order))
+               jnp.asarray(order), jnp.asarray(rec))
 
 
 def _build_bvh_native(prim_lo, prim_hi, leaf_size, split_method):
@@ -169,10 +192,11 @@ def _build_bvh_native(prim_lo, prim_hi, leaf_size, split_method):
            order.ctypes.data_as(ip))
     if m <= 0:
         return None
+    rec = _pack_nodes(b_lo[:m], b_hi[:m], right[:m], offs[:m], cnts[:m], ax[:m])
     return BVH(jnp.asarray(b_lo[:m]), jnp.asarray(b_hi[:m]),
                jnp.asarray(right[:m]), jnp.asarray(offs[:m]),
                jnp.asarray(cnts[:m]), jnp.asarray(ax[:m]),
-               jnp.asarray(order))
+               jnp.asarray(order), jnp.asarray(rec))
 
 
 def world_bounds(bvh: BVH):

@@ -111,6 +111,10 @@ def intersect_kdtree(kd: KdTree, tri_p0, tri_p1, tri_p2, o, d, t_max,
 
     zf = (o[:, 0] + d[:, 0]) * 0.0
     zi = zf.astype(jnp.int32)
+    # pre-gather triangles into leaf-list order once (contiguous leaf tests)
+    tp0s = tri_p0[kd.prim_indices]
+    tp1s = tri_p1[kd.prim_indices]
+    tp2s = tri_p2[kd.prim_indices]
     state = dict(
         node=zi, tmin=tmin0, tmax=tmax0, sp=zi, active=alive0, cursor=zi,
         stack_n=jnp.broadcast_to(zi[:, None], (N, KD_STACK)),
@@ -138,12 +142,12 @@ def intersect_kdtree(kd: KdTree, tri_p0, tri_p1, tri_p2, o, d, t_max,
         for i in range(KD_LEAF_CHUNK):
             j = cursor + i
             valid = is_leaf & (j < cnt)
-            pid = kd.prim_indices[jnp.where(valid, offs + j, 0)]
-            hit, t, b0, b1, b2 = intersect_tri(tri_p0[pid], tri_p1[pid],
-                                               tri_p2[pid], o, d, t_best)
+            sidx = jnp.where(valid, offs + j, 0)
+            hit, t, b0, b1, b2 = intersect_tri(tp0s[sidx], tp1s[sidx],
+                                               tp2s[sidx], o, d, t_best)
             closer = valid & hit
             t_best = jnp.where(closer, t, t_best)
-            tri_best = jnp.where(closer, pid, tri_best)
+            tri_best = jnp.where(closer, sidx, tri_best)
             b1b = jnp.where(closer, b1, b1b)
             b2b = jnp.where(closer, b2, b2b)
         cursor_new = cursor + KD_LEAF_CHUNK
@@ -202,4 +206,7 @@ def intersect_kdtree(kd: KdTree, tri_p0, tri_p1, tri_p2, o, d, t_max,
                     b1=b1b, b2=b2b)
 
     s = jax.lax.while_loop(cond, body, state)
-    return TriHit(s["t_best"], s["tri_best"], s["b1"], s["b2"])
+    # map leaf-list indices back to original triangle ids
+    tri = jnp.where(s["tri_best"] >= 0,
+                    kd.prim_indices[jnp.maximum(s["tri_best"], 0)], -1)
+    return TriHit(s["t_best"], tri, s["b1"], s["b2"])

@@ -64,7 +64,13 @@ def intersect_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
     b1_best = zero_f
     b2_best = zero_f
 
+    # pre-gather triangles into BVH leaf order ONCE (O(T), outside the loop):
+    # leaf tests then index contiguously (offset+i) — one coalesced gather per
+    # test instead of the order[sidx] double indirection per lane per iter
     order = bvh.prim_order
+    tp0s = tri_p0[order]
+    tp1s = tri_p1[order]
+    tp2s = tri_p2[order]
 
     def cond(state):
         sp = state[1]
@@ -77,36 +83,37 @@ def intersect_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
         node = stack[lanes, spm1]
         sp = jnp.where(active, spm1, sp)
 
-        count = bvh.prim_count[node]
+        # ONE gather: the packed node record carries both children's bounds
+        # plus (right, count, offset, axis) — see bvh.py _pack_nodes
+        rec = bvh.packed[node]                     # [N, 16]
+        ints = jax.lax.bitcast_convert_type(rec[:, 12:16], jnp.int32)
+        rchild = ints[:, 0]
+        count = ints[:, 1]
+        offset = ints[:, 2]
+        ax = ints[:, 3]
         is_leaf = count > 0
         leaf_active = active & is_leaf
-        offset = bvh.prim_offset[node]
 
         # ---- leaf: test up to MAX_LEAF_PRIMS triangles ----
         for i in range(MAX_LEAF_PRIMS):
             valid = leaf_active & (i < count)
             sidx = jnp.where(valid, offset + i, 0)
-            pid = order[sidx]
-            p0 = tri_p0[pid]
-            p1 = tri_p1[pid]
-            p2 = tri_p2[pid]
-            hit, t, b0, b1, b2 = intersect_tri(p0, p1, p2, o, d, t_best)
+            hit, t, b0, b1, b2 = intersect_tri(tp0s[sidx], tp1s[sidx],
+                                               tp2s[sidx], o, d, t_best)
             closer = valid & hit
             t_best = jnp.where(closer, t, t_best)
-            tri_best = jnp.where(closer, pid, tri_best)
+            tri_best = jnp.where(closer, sidx, tri_best)
             b1_best = jnp.where(closer, b1, b1_best)
             b2_best = jnp.where(closer, b2, b2_best)
 
         # ---- interior: test both children, push far then near ----
         int_active = active & ~is_leaf
         left = node + 1
-        rchild = bvh.right_child[node]
-        hit_l, _ = _slab(bvh.bounds_lo[left], bvh.bounds_hi[left], o, inv_d, t_best)
-        hit_r, _ = _slab(bvh.bounds_lo[rchild], bvh.bounds_hi[rchild], o, inv_d, t_best)
+        hit_l, _ = _slab(rec[:, 0:3], rec[:, 3:6], o, inv_d, t_best)
+        hit_r, _ = _slab(rec[:, 6:9], rec[:, 9:12], o, inv_d, t_best)
         hit_l = hit_l & int_active
         hit_r = hit_r & int_active
         # near child: left unless ray dir negative along split axis
-        ax = bvh.axis[node]
         swap = jnp.take_along_axis(neg_dir, ax[:, None], axis=-1)[:, 0]
         near = jnp.where(swap, rchild, left)
         far = jnp.where(swap, left, rchild)
@@ -130,6 +137,8 @@ def intersect_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
     hit_root, _ = _slab(bvh.bounds_lo[0], bvh.bounds_hi[0], o, inv_d, t_best)
     state = (stack, jnp.where(hit_root, sp, 0), t_best, tri_best, b1_best, b2_best)
     stack, sp, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(cond, body, state)
+    # tri_best carries SORTED indices inside the loop; map back to original
+    tri_best = jnp.where(tri_best >= 0, order[jnp.maximum(tri_best, 0)], -1)
     return TriHit(t_best, tri_best, b1_best, b2_best)
 
 

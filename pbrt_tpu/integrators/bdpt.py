@@ -71,8 +71,9 @@ def _f_at(cs, v: VertexSoA, k, wo_w, wi_w):
     lobes = _lobes_at(cs, v, k)
     wo_l = jnp.stack([dot(wo_w, v.ss[:, k]), dot(wo_w, v.ts[:, k]), dot(wo_w, v.ns[:, k])], -1)
     wi_l = jnp.stack([dot(wi_w, v.ss[:, k]), dot(wi_w, v.ts[:, k]), dot(wi_w, v.ns[:, k])], -1)
-    return B.bsdf_f(lobes, wo_l, wi_l), B.bsdf_pdf(lobes, wo_l, wi_l), \
-        B.bsdf_pdf(lobes, wi_l, wo_l)
+    ftab = cs.data.fourier if cs.flags.has_fourier else None
+    return B.bsdf_f(lobes, wo_l, wi_l, ftab), B.bsdf_pdf(lobes, wo_l, wi_l, ftab), \
+        B.bsdf_pdf(lobes, wi_l, wo_l, ftab)
 
 
 def _convert_density(pdf_sa, from_p, to_p, to_ng):
@@ -138,7 +139,7 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode):
         u_lobe = sample_dim(spec, px, py, sidx, base + 4)
         u_dir = sample_2d(spec, px, py, sidx, base + 5)
         wo_local = si.world_to_local(si.wo)
-        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir)
+        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir, data.fourier if flags.has_fourier else None)
         wi_world = si.local_to_world(bs.wi)
         cos_w = vm.absdot(wi_world, si.ns)
         ok = active & (bs.pdf > 0) & ~B.black(bs.f)
@@ -153,7 +154,7 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode):
                                         / jnp.maximum(bs.pdf, 1e-12))[:, None], beta)
         # reverse pdf at this vertex (density of sampling backwards)
         wi_l2 = si.world_to_local(wi_world)
-        pdf_rev_sa = B.bsdf_pdf(lobes, wi_l2, wo_local)
+        pdf_rev_sa = B.bsdf_pdf(lobes, wi_l2, wo_local, data.fourier if flags.has_fourier else None)
         v = v._replace(pdf_rev=v.pdf_rev.at[:, k].set(
             jnp.where(ok, pdf_rev_sa, 0.0)))
         prev_delta = bs.is_specular

@@ -7,9 +7,10 @@ statically (the stateless-sampler contract, see pbrt_tpu/samplers).
 
 Static sampler dimension layout:
   0,1 film jitter | 2,3 lens | 4 time
-  per bounce b (base = 5 + 8*b):
+  per bounce b (base = 5 + 16*b):
     +0 mix-material select | +1 light select | +2,3 light sample
     +4 bsdf lobe select    | +5,6 bsdf direction | +7 russian roulette
+    +8 bssrdf channel      | +9 bssrdf radius    | +10 bssrdf azimuth
 """
 from __future__ import annotations
 
@@ -26,7 +27,7 @@ from pbrt_tpu import lights as LT
 from pbrt_tpu.scene.intersect import intersect, intersect_p
 
 CAMERA_DIMS = 5
-BOUNCE_DIMS = 8
+BOUNCE_DIMS = 16
 
 
 def bounce_base(bounce: int) -> int:
@@ -53,6 +54,7 @@ def sample_one_light(cs, si, lobes, active, u_sel, u_light):
     Returns Ld [N,3] (unweighted by beta)."""
     data = cs.data
     flags = cs.flags
+    ftab = data.fourier if flags.has_fourier else None
     if flags.n_lights == 0:
         return jnp.zeros(si.p.shape, jnp.float32)
     light_idx, pmf, _ = data.light_distr.sample_discrete(u_sel)
@@ -60,7 +62,7 @@ def sample_one_light(cs, si, lobes, active, u_sel, u_light):
                       data.world_center, data.world_radius)
     wi_local = si.world_to_local(ls.wi)
     wo_local = si.world_to_local(si.wo)
-    f = B.bsdf_f(lobes, wo_local, wi_local) * vm.absdot(ls.wi, si.ns)[:, None]
+    f = B.bsdf_f(lobes, wo_local, wi_local, ftab) * vm.absdot(ls.wi, si.ns)[:, None]
     contributes = active & (ls.pdf > 0.0) & ~B.black(f) & ~B.black(ls.li) & (pmf > 0.0)
 
     # shadow ray (VisibilityTester::unoccluded, visibility_tester.rs)
@@ -72,7 +74,7 @@ def sample_one_light(cs, si, lobes, active, u_sel, u_light):
     contributes = contributes & ~occluded
 
     # MIS: delta lights skip the heuristic (estimate_direct)
-    pdf_b = B.bsdf_pdf(lobes, wo_local, wi_local)
+    pdf_b = B.bsdf_pdf(lobes, wo_local, wi_local, ftab)
     w_l = jnp.where(ls.is_delta, 1.0, power_heuristic(1.0, ls.pdf * pmf, 1.0, pdf_b))
     denom = jnp.maximum(ls.pdf * pmf, 1e-12)
     ld = f * ls.li * (w_l / denom)[:, None]

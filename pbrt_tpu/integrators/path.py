@@ -10,6 +10,7 @@ pure function of (pixel, sample_index) — replayable for backprop.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pbrt_tpu.core import math as vm
@@ -71,10 +72,33 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
     prev_bsdf_pdf = jnp.zeros((n,), jnp.float32)
     prev_p = o
     eta_scale = jnp.ones((n,), jnp.float32)
+    t_max = jnp.full((n,), vm.INF)
+
+    # BSSRDF carry (path.rs:208-262 BSSRDF hook; pbrt_tpu/materials/bssrdf.py):
+    # when a subsurface boundary transmits, the NEXT bounce's ray is the
+    # diffusion probe and the hit is the exit interaction
+    if flags.has_subsurface:
+        from pbrt_tpu.materials import bssrdf as SSS
+        sss_pending = jnp.zeros((n,), bool)
+        sss_entry_p = o
+        sss_entry_mat = jnp.full((n,), -1, jnp.int32)
+        sss_d3 = jnp.ones((n, 3), jnp.float32)
+        sss_rho3 = jnp.zeros((n, 3), jnp.float32)
+        sss_kd_adapter = jnp.zeros((n,), jnp.float32)
 
     for bounce in range(max_depth + 1):
         base = bounce_base(bounce)
-        si = intersect(data, flags, o, normalize(d), jnp.full((n,), vm.INF))
+        si = intersect(data, flags, o, normalize(d), t_max)
+        if flags.has_subsurface:
+            # exit interaction for pending probes: Sp(dist)/pdf_sp reweights
+            dist = vm.length(si.p - sss_entry_p)
+            sp = SSS.sr_profile(dist[:, None], sss_d3, sss_rho3)
+            pdf_sp = jnp.mean(SSS.sr_pdf(dist[:, None], sss_d3), axis=-1)
+            good = sss_pending & si.valid & (si.material == sss_entry_mat)
+            beta = jnp.where(good[:, None],
+                             beta * sp / jnp.maximum(pdf_sp, 1e-12)[:, None], beta)
+            active = active & (~sss_pending | good)
+            sss_here = good   # lanes shading an exit point this bounce
         if bounce == 0:
             # camera-ray differentials -> uv screen derivatives for texture
             # mip filtering (surface_interaction.rs:203); deeper bounces use
@@ -84,6 +108,8 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         # ---- emitted radiance (hit emitters / escaped to infinite) ----
         if flags.has_infinite:
             esc = active & ~si.valid
+            if flags.has_subsurface:
+                esc = esc & ~sss_pending
             le_inf = LT.le_escaped(data.lights, normalize(d))
             if bounce == 0:
                 w = jnp.ones((n,), jnp.float32)
@@ -94,6 +120,8 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
             L = L + jnp.where(esc[:, None], beta * le_inf * w[:, None], 0.0)
         if flags.has_area_lights:
             hit_l = active & si.valid & (si.area_light >= 0)
+            if flags.has_subsurface:
+                hit_l = hit_l & ~sss_pending
             le = LT.le_area(data.lights, si.area_light, si.ng, si.wo)
             if bounce == 0:
                 w = jnp.ones((n,), jnp.float32)
@@ -112,6 +140,17 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
                               u_mix, flags.has_tex_slot,
                               duv=si.duv if bounce == 0 else None)
+        if flags.has_subsurface:
+            # exit points shade with the Sw adapter (SeparableBSSRDFAdapter,
+            # tabulated_bssrdf.rs): hemispherically-averaged lambertian
+            from pbrt_tpu.materials import bsdf as _B
+            adapter = _B.Lobes.zeros(n)
+            adapter = adapter._replace(
+                kd=jnp.broadcast_to(sss_kd_adapter[:, None], (n, 3)))
+            lobes = jax.tree.map(
+                lambda a, b: jnp.where(
+                    sss_here.reshape((n,) + (1,) * (a.ndim - 1)), b, a),
+                lobes, adapter)
 
         # ---- NEE ----
         u_sel = sample_dim_(base + 1)
@@ -123,7 +162,8 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         u_lobe = sample_dim_(base + 4)
         u_dir = sample_2d_(base + 5)
         wo_local = si.world_to_local(si.wo)
-        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir)
+        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir,
+                           data.fourier if flags.has_fourier else None)
         wi_world = si.local_to_world(bs.wi)
         cos_w = vm.absdot(wi_world, si.ns)
         ok = active & (bs.pdf > 0.0) & ~B.black(bs.f)
@@ -137,6 +177,39 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         prev_p = si.p
         o = si.spawn_origin(wi_world)
         d = wi_world
+        t_max = jnp.full((n,), vm.INF)
+        if flags.has_subsurface:
+            # boundary transmission into a subsurface material launches the
+            # diffusion probe (sample_sp disk sampling, single-axis variant)
+            transmitted = (bs.wi[:, 2] * wo_local[:, 2]) < 0.0
+            wo_outside = dot(si.wo, si.ns) > 0.0
+            entering = ok & lobes.sss_flag & transmitted & wo_outside & ~sss_here
+            u_ch = sample_dim_(base + 8)
+            u_r = sample_dim_(base + 9)
+            u_phi = sample_dim_(base + 10)
+            ch = jnp.clip((u_ch * 3.0).astype(jnp.int32), 0, 2)
+            d_ch = jnp.take_along_axis(lobes.sss_d, ch[:, None], -1)[:, 0]
+            r = SSS.sr_sample(u_r, d_ch)
+            rmax = SSS.sr_sample_max(d_ch)
+            r = jnp.minimum(r, 0.999 * rmax)
+            h = jnp.sqrt(jnp.maximum(rmax * rmax - r * r, 1e-12))
+            phi = 2.0 * jnp.pi * u_phi
+            disk = (r * jnp.cos(phi))[:, None] * si.ss \
+                + (r * jnp.sin(phi))[:, None] * si.ts
+            probe_o = si.p + disk + h[:, None] * si.ns
+            probe_d = -si.ns
+            o = jnp.where(entering[:, None], probe_o, o)
+            d = jnp.where(entering[:, None], probe_d, d)
+            t_max = jnp.where(entering, 2.0 * h, t_max)
+            sss_pending = entering
+            sss_entry_p = jnp.where(entering[:, None], si.p, sss_entry_p)
+            sss_entry_mat = jnp.where(entering, si.material, sss_entry_mat)
+            sss_d3 = jnp.where(entering[:, None], lobes.sss_d, sss_d3)
+            sss_rho3 = jnp.where(entering[:, None], lobes.sss_rho, sss_rho3)
+            c_norm = 1.0 - 2.0 * SSS.fresnel_moment1(1.0 / lobes.eta)
+            kd_ad = jnp.clip((1.0 - 2.0 * SSS.fresnel_moment1(lobes.eta))
+                             / jnp.maximum(c_norm, 1e-3), 0.0, 1.0)
+            sss_kd_adapter = jnp.where(entering, kd_ad, sss_kd_adapter)
 
         # ---- Russian roulette (path.rs:264-276) ----
         if bounce > 3:

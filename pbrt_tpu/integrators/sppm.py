@@ -152,7 +152,7 @@ def _sppm_iteration(cs, max_depth, n_photons_iter, px, py, it, radius,
         u_lobe = sample_dim(spec, px, py, sidx, base + 4)
         u_dir = sample_2d(spec, px, py, sidx, base + 5)
         wo_local = si.world_to_local(si.wo)
-        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir)
+        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir, data.fourier if flags.has_fourier else None)
         wi_world = si.local_to_world(bs.wi)
         ok = active & bs.is_specular & (bs.pdf > 0) & ~B.black(bs.f)
         beta = jnp.where(ok[:, None],
@@ -219,7 +219,7 @@ def _sppm_iteration(cs, max_depth, n_photons_iter, px, py, it, radius,
         u_lobe = hdim(101 + bounce * 16)
         u_dir = hdim2(102 + bounce * 16)
         wo_local = si.world_to_local(si.wo)
-        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir)
+        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir, data.fourier if flags.has_fourier else None)
         wi_world = si.local_to_world(bs.wi)
         ok = ph_active & (bs.pdf > 0) & ~B.black(bs.f)
         new_beta = ph_beta * bs.f * (vm.absdot(wi_world, si.ns)

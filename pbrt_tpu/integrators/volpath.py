@@ -128,8 +128,8 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float =
                                   u_mix, flags.has_tex_slot)
             wi_local = si.world_to_local(ls.wi)
             wo_local = si.world_to_local(si.wo)
-            f_surf = B.bsdf_f(lobes, wo_local, wi_local) * vm.absdot(ls.wi, si.ns)[:, None]
-            pdf_b_surf = B.bsdf_pdf(lobes, wo_local, wi_local)
+            f_surf = B.bsdf_f(lobes, wo_local, wi_local, data.fourier if flags.has_fourier else None) * vm.absdot(ls.wi, si.ns)[:, None]
+            pdf_b_surf = B.bsdf_pdf(lobes, wo_local, wi_local, data.fourier if flags.has_fourier else None)
             f = jnp.where(in_medium[:, None], p_phase[:, None], f_surf)
             pdf_b = jnp.where(in_medium, p_phase, pdf_b_surf)
 
@@ -162,7 +162,7 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float =
         wi_med, p_med = MD.hg_sample(-dn, g, u_dir)
         # surface: bsdf sample
         wo_local = si.world_to_local(si.wo)
-        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir)
+        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir, data.fourier if flags.has_fourier else None)
         wi_surf = si.local_to_world(bs.wi)
         cos_w = vm.absdot(wi_surf, si.ns)
         ok_surf = (bs.pdf > 0) & ~B.black(bs.f)

@@ -61,7 +61,7 @@ def li_whitted(cs, px, py, sample_idx, max_depth: int = 5):
             ls = LT.sample_li(data.lights, data, idx, si.p, u_light,
                               data.world_center, data.world_radius)
             wi_local = si.world_to_local(ls.wi)
-            f = B.bsdf_f(lobes, wo_local, wi_local) * vm.absdot(ls.wi, si.ns)[:, None]
+            f = B.bsdf_f(lobes, wo_local, wi_local, data.fourier if flags.has_fourier else None) * vm.absdot(ls.wi, si.ns)[:, None]
             ok = active & (ls.pdf > 0) & ~B.black(f) & ~B.black(ls.li)
             so = si.spawn_origin(ls.wi)
             to_l = ls.p_light - so
@@ -74,7 +74,7 @@ def li_whitted(cs, px, py, sample_idx, max_depth: int = 5):
         # specular continuation only
         u_lobe = sample_dim(spec, px, py, sample_idx, base + 4)
         u_dir = sample_2d(spec, px, py, sample_idx, base + 5)
-        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir)
+        bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir, data.fourier if flags.has_fourier else None)
         wi_world = si.local_to_world(bs.wi)
         cos_w = vm.absdot(wi_world, si.ns)
         ok = active & bs.is_specular & (bs.pdf > 0) & ~B.black(bs.f)

@@ -50,28 +50,33 @@ class MaterialTable(NamedTuple):
     const: jnp.ndarray      # [M, N_SLOTS, 3]
     misc: jnp.ndarray       # [M, 8]
     child: jnp.ndarray      # [M, 2] mix children
+    sss: jnp.ndarray        # [M, 7] (flag, sigma_t rgb, albedo rho rgb)
 
 
-def compile_materials(decls, tex_name_to_id=None):
-    """Host: list[MaterialDecl] -> (MaterialTable numpy, has_tex_slot tuple)."""
+def compile_materials(decls, tex_name_to_id=None, cwd="."):
+    """Host: list[MaterialDecl] -> (MaterialTable, has_tex_slot, fourier
+    tables list for build_fourier_table)."""
     M = len(decls)
     kind = np.zeros(M, np.int32)
     tex = np.full((M, N_SLOTS), -1, np.int32)
     const = np.zeros((M, N_SLOTS, 3), np.float32)
     misc = np.zeros((M, 8), np.float32)
     child = np.full((M, 2), -1, np.int32)
+    sss = np.zeros((M, 7), np.float32)
+    fourier_tables = []
 
     slot_names = ["Kd", "Ks", "Kr", "Kt", "roughness", "uroughness",
                   "vroughness", "opacity", "sigma", "bumpmap"]
 
     for i, d in enumerate(decls):
         k = KIND_IDS.get(d.kind, M_MATTE)
-        # BSSRDF materials approximate as glass-like interfaces until the
-        # TabulatedBSSRDF lands (SURVEY sect. 2.5 bssrdf — roadmap round 2)
+        # BSSRDF materials: glass-like boundary lobes (subsurface.rs builds
+        # the same smooth/rough dielectric interface) + normalized-diffusion
+        # transport parameters consumed by the path integrator (bssrdf.py)
         if k in (M_SUBSURFACE, M_KDSUBSURFACE):
             k_eff = M_GLASS
         elif k == M_FOURIER:
-            k_eff = M_MATTE  # fourier table reader lands with bsdf_reader
+            k_eff = M_FOURIER  # table id resolved below; matte on read failure
         else:
             k_eff = k
         kind[i] = k_eff
@@ -116,10 +121,48 @@ def compile_materials(decls, tex_name_to_id=None):
             # pack reflect/transmit into misc
             misc[i, 2:5] = ps.find_one_rgb("reflect", [0.5] * 3)
             misc[i, 5:8] = ps.find_one_rgb("transmit", [0.5] * 3)
+        if k == M_FOURIER:
+            import os
+            from pbrt_tpu.materials.fourier import read_bsdf_file
+            fname = ps.find_one_string("bsdffile", "")
+            path = fname if os.path.isabs(fname) else os.path.join(cwd, fname)
+            try:
+                t = read_bsdf_file(path)
+                misc[i, 2] = float(len(fourier_tables))
+                misc[i, 0] = t["eta"]
+                fourier_tables.append(t)
+            except Exception:
+                kind[i] = M_MATTE  # unreadable table -> matte fallback
+                const[i, 0] = 0.5
+        if k in (M_SUBSURFACE, M_KDSUBSURFACE):
+            from pbrt_tpu.materials import bssrdf as SSS
+            const[i, 2] = ps.find_one_rgb("Kr", [1, 1, 1])
+            const[i, 3] = ps.find_one_rgb("Kt", [1, 1, 1])
+            misc[i, 0] = ps.find_one_float("eta", 1.33)
+            scale = ps.find_one_float("scale", 1.0)
+            if k == M_SUBSURFACE:
+                sa = np.asarray(ps.find_one_rgb("sigma_a", [0.0011, 0.0024, 0.014]), np.float32)
+                sp = np.asarray(ps.find_one_rgb("sigma_prime_s",
+                                ps.find_one_rgb("sigma_s", [2.55, 3.21, 3.77])), np.float32)
+                name = ps.find_one_string("name", "")
+                if name:
+                    got = SSS.get_medium_scattering_properties(name)
+                    if got is not None:
+                        sa, sp = got
+                st = (sa + sp) * scale
+                rho = np.where(st > 0, sp * scale / np.maximum(st, 1e-12), 0.0)
+            else:  # kdsubsurface.rs: Kd + mean free path
+                rho = np.clip(np.asarray(ps.find_one_rgb("Kd", [0.5] * 3), np.float32), 0, 1)
+                mfp = ps.find_one_float("mfp", 1.0)
+                st = np.full(3, 1.0 / max(mfp * scale, 1e-6), np.float32)
+            sss[i, 0] = 1.0
+            sss[i, 1:4] = np.maximum(st, 1e-6)
+            sss[i, 4:7] = rho
 
     has_tex_slot = tuple(bool((tex[:, s] >= 0).any()) for s in range(N_SLOTS))
     return MaterialTable(jnp.asarray(kind), jnp.asarray(tex), jnp.asarray(const),
-                         jnp.asarray(misc), jnp.asarray(child)), has_tex_slot
+                         jnp.asarray(misc), jnp.asarray(child),
+                         jnp.asarray(sss)), has_tex_slot, fourier_tables
 
 
 def _remap(rough, do_remap):
@@ -214,6 +257,10 @@ def compute_lobes(mats: MaterialTable, tex: TextureTable, mat_id, uv, p,
     # uber's (1-opacity) passthrough uses eta=1 -> handled by fresnel noop if
     # only passthrough; keep dielectric otherwise (approximation noted)
 
+    from pbrt_tpu.materials.bssrdf import burley_d
+    sssr = mats.sss[mat_id]
+    sss_rho = sssr[:, 4:7]
+    sss_d = burley_d(sss_rho, sssr[:, 1:4])
     return B.Lobes(
         kd=kd, sigma=jnp.where(is_matte, jnp.radians(sigma), 0.0),
         kt_diff=kt_diff, ks=ks, rough_u=au, rough_v=av,
@@ -223,4 +270,7 @@ def compute_lobes(mats: MaterialTable, tex: TextureTable, mat_id, uv, p,
         eta3=m3(is_metal, mats.const[mat_id, 0], jnp.ones((n, 3))),
         k3=m3(is_metal, mats.const[mat_id, 1], z3),
         rd_blend=rd_blend, kt_gloss=kt_gloss, rough_tu=au, rough_tv=av,
-        spec_r=spec_r, spec_t=spec_t, spec_fresnel=spec_fresnel)
+        spec_r=spec_r, spec_t=spec_t, spec_fresnel=spec_fresnel,
+        sss_flag=sssr[:, 0] > 0.5, sss_d=sss_d, sss_rho=sss_rho,
+        fourier_id=jnp.where(kindv == M_FOURIER,
+                             misc[:, 2].astype(jnp.int32), -1))

@@ -60,6 +60,11 @@ class Lobes(NamedTuple):
     spec_r: jnp.ndarray    # [N,3] specular reflection weight
     spec_t: jnp.ndarray    # [N,3] specular transmission weight
     spec_fresnel: jnp.ndarray  # [N] int32 SF_*
+    # BSSRDF transport parameters (bssrdf.py; zero when not subsurface)
+    sss_flag: jnp.ndarray  # [N] bool
+    sss_d: jnp.ndarray     # [N,3] per-channel diffusion length
+    sss_rho: jnp.ndarray   # [N,3] profile albedo
+    fourier_id: jnp.ndarray  # [N] int32 fourier table id (-1 none)
 
     @staticmethod
     def zeros(n):
@@ -67,7 +72,8 @@ class Lobes(NamedTuple):
         z3 = jnp.zeros((n, 3), jnp.float32)
         i = jnp.zeros((n,), jnp.int32)
         return Lobes(z3, z, z3, z3, z, z, i, i, jnp.ones((n,), jnp.float32),
-                     z3, z3, z3, z3, z, z, z3, z3, i)
+                     z3, z3, z3, z3, z, z, z3, z3, i,
+                     jnp.zeros((n,), bool), z3, z3, i - 1)
 
 
 def black(c):
@@ -315,9 +321,10 @@ def _glossy_t_f(lb: Lobes, wo, wi):
     return jnp.where(ok[..., None], val, 0.0)
 
 
-def bsdf_f(lb: Lobes, wo, wi):
+def bsdf_f(lb: Lobes, wo, wi, ftab=None):
     """Total non-specular f (specular lobes are delta — excluded, like the
-    reference's BSDF::f which skips them implicitly via matching flags)."""
+    reference's BSDF::f which skips them implicitly via matching flags).
+    ftab: FourierTable when the scene has fourier materials."""
     refl = same_hemisphere(wo, wi)
     # diffuse reflection
     lam = lb.kd * INV_PI
@@ -331,6 +338,9 @@ def bsdf_f(lb: Lobes, wo, wi):
     f = f + jnp.where(has_gloss[..., None], _glossy_f(lb, wo, wi), 0.0)
     has_gt = ~black(lb.kt_gloss)
     f = f + jnp.where(has_gt[..., None], _glossy_t_f(lb, wo, wi), 0.0)
+    if ftab is not None:
+        from pbrt_tpu.materials.fourier import eval_fourier
+        f = f + eval_fourier(ftab, lb.fourier_id, wo, wi)
     return f
 
 
@@ -339,7 +349,7 @@ def _lobe_weights(lb: Lobes):
     specular) lobes — uniform over present lobes like the reference's
     matching-component count (bsdf.rs sample_f)."""
     present = jnp.stack([
-        ~black(lb.kd) | ~black(lb.kt_diff),
+        ~black(lb.kd) | ~black(lb.kt_diff) | (lb.fourier_id >= 0),
         jnp.zeros_like(black(lb.kd)),  # diffuse_t folded into diffuse slot
         ~black(lb.ks) | ~black(lb.rd_blend),
         ~black(lb.kt_gloss),
@@ -350,7 +360,7 @@ def _lobe_weights(lb: Lobes):
     return w / total, present
 
 
-def bsdf_pdf(lb: Lobes, wo, wi):
+def bsdf_pdf(lb: Lobes, wo, wi, ftab=None):
     """pdf of non-specular sampling strategies (mixture)."""
     w, present = _lobe_weights(lb)
     refl = same_hemisphere(wo, wi)
@@ -385,7 +395,7 @@ class BsdfSample(NamedTuple):
     eta_scale: jnp.ndarray     # [N] radiance scale factor eta^2 tracking
 
 
-def bsdf_sample(lb: Lobes, wo, u_lobe, u2):
+def bsdf_sample(lb: Lobes, wo, u_lobe, u2, ftab=None):
     """Sample one lobe; mirrors BSDF::sample_f (bsdf.rs).
 
     u_lobe: [N] selects the lobe; u2: [N,2] directional sample.
@@ -454,8 +464,8 @@ def bsdf_sample(lb: Lobes, wo, u_lobe, u2):
                    jnp.where(is_gloss[..., None], wi_g,
                              jnp.where(is_gt[..., None], wi_t, wi_d)))
     # evaluate non-specular mixture f and pdf at the sampled wi
-    f_ns = bsdf_f(lb, wo, wi)
-    pdf_ns = bsdf_pdf(lb, wo, wi)
+    f_ns = bsdf_f(lb, wo, wi, ftab)
+    pdf_ns = bsdf_pdf(lb, wo, wi, ftab)
     f = jnp.where(is_spec[..., None], f_s, f_ns)
     pdf = jnp.where(is_spec, pdf_s * w[..., 4], pdf_ns)
     valid = jnp.where(is_spec, spec_valid,

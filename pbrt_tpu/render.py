@@ -96,15 +96,37 @@ def render_sampler_integrator(cs: CompiledScene, options=None, verbose=False,
     film = FilmState.zeros(cs.film)
     t0 = time.time()
     s = 0
+    batch = 0
     while s < spp:
         film = step(film, jnp.int32(s))
         s += k
+        batch += 1
         if verbose:
             film.rgb_sum.block_until_ready()
             done = min(s, spp)
             el = time.time() - t0
             print(f"  spp {done}/{spp}  ({el:.1f}s, {n_pix*done/max(el,1e-9)/1e6:.2f} Mpaths/s)")
+        if options.preview_every and batch % options.preview_every == 0 and s < spp:
+            # progressive preview (GUI analog): develop a copy, keep rendering
+            prev = jax.tree.map(lambda x: x, film)
+            img = develop(cs.film, prev)
+            write_image(options.preview_path or (options.outfile or cs.film.filename),
+                        np.asarray(img))
     img = develop(cs.film, film)
+
+    # render statistics (reference stats registry analog, utils/stats.py)
+    from pbrt_tpu.utils.stats import STATS
+    el = time.time() - t0
+    STATS.report_counter("Integrator/Camera rays traced", n_pix * spp)
+    STATS.report_counter("Integrator/Sample batches", batch)
+    STATS.report_counter("Integrator/Wavefront size", n_pix * k)
+    STATS.report_distribution("Performance/Mpaths per second",
+                              n_pix * spp / max(el, 1e-9) / 1e6)
+    STATS.report_counter("Memory/Film pixels",
+                         cs.film.full_resolution[0] * cs.film.full_resolution[1])
+    STATS.report_ratio("Film/Nonzero pixels",
+                       float((np.asarray(img).sum(-1) > 0).sum()),
+                       float(np.asarray(img).shape[0] * np.asarray(img).shape[1]))
     return np.asarray(img)
 
 

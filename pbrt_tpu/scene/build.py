@@ -231,7 +231,9 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
 
     # ---- textures & materials ----
     tex = compile_textures(desc.textures, cwd)
-    mats, has_tex_slot = compile_materials(desc.materials)
+    mats, has_tex_slot, fourier_tables = compile_materials(desc.materials, cwd=cwd)
+    from pbrt_tpu.materials.fourier import build_fourier_table
+    fourier_tab = build_fourier_table(fourier_tables)
 
     # ---- lights ----
     lights_rows = []
@@ -389,6 +391,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         jnp.asarray(np.asarray(prim_rev, bool)),
         jnp.asarray(np.asarray(prim_medium, np.int32).reshape(-1, 2)),
         mats, tex, light_tab, light_distr,
+        fourier_tab,
         media_tab,
         jnp.asarray(np.int32(med_ids.get(desc.camera_medium_name, -1))),
         jnp.asarray(wc.astype(np.float32)), jnp.asarray(np.float32(wr)))
@@ -401,7 +404,9 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         use_bvh=use_bvh, accel=accel, has_tex_slot=has_tex_slot,
         any_normals=bool(thn.any()), any_uv=True,
         n_media=len(desc.media),
-        any_grid_media=bool(np.any(np.asarray(media_tab.kind) == 1)) and len(desc.media) > 0)
+        any_grid_media=bool(np.any(np.asarray(media_tab.kind) == 1)) and len(desc.media) > 0,
+        has_subsurface=bool(np.asarray(mats.sss[:, 0]).any()),
+        has_fourier=bool(fourier_tables))
 
     # ---- specs ----
     res_params = desc.film_params

@@ -49,6 +49,7 @@ class SceneData(NamedTuple):
     tex: TextureTable
     lights: LightTable
     light_distr: Distribution1D  # power-weighted light selection
+    fourier: object              # FourierTable (materials/fourier.py)
     media: object                # MediumTable
     camera_medium: jnp.ndarray   # scalar int32 (-1 vacuum)
     # bounds
@@ -72,6 +73,8 @@ class SceneFlags:
     any_uv: bool
     n_media: int = 0
     any_grid_media: bool = False
+    has_subsurface: bool = False
+    has_fourier: bool = False
 
 
 @dataclasses.dataclass

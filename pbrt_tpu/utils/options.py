@@ -27,6 +27,11 @@ class Options:
     donate_film: bool = True
     precision: str = "f32"          # radiance accumulation precision
     seed: int = 0
+    # progressive preview: write the in-progress image every N sample
+    # batches (0 = off). TPU-native replacement of the reference's winit
+    # GUI tile preview (core/src/app/gui.rs)
+    preview_every: int = 0
+    preview_path: str = ""
 
     def copy(self) -> "Options":
         return dataclasses.replace(self)

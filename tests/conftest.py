@@ -18,5 +18,10 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still mutab
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+# persistent XLA compile cache: integrator graphs dominate suite wall time
+# on few-core hosts; repeat runs hit the cache
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -11,8 +11,8 @@ def scene_with(integrator_line):
     return f"""
 LookAt 0 2 6  0 1 0  0 1 0
 Camera "perspective" "float fov" 40
-Film "image" "integer xresolution" [24] "integer yresolution" [24]
-Sampler "02sequence" "integer pixelsamples" 32
+Film "image" "integer xresolution" [20] "integer yresolution" [20]
+Sampler "02sequence" "integer pixelsamples" 16
 {integrator_line}
 WorldBegin
 LightSource "point" "point from" [0 4 2] "rgb I" [40 40 40]
@@ -58,7 +58,7 @@ def test_direct_lighting_between(path_ref):
 
 def test_sppm_runs_and_is_sane(path_ref):
     img = render(load_scene_string(scene_with(
-        'Integrator "sppm" "integer numiterations" [16] "float radius" [0.4] '
+        'Integrator "sppm" "integer numiterations" [12] "float radius" [0.4] '
         '"integer maxdepth" 3')))
     # photon estimators converge slowly; just demand same order of magnitude
     assert 0.3 * path_ref.mean() < img.mean() < 3.0 * path_ref.mean()
@@ -66,8 +66,8 @@ def test_sppm_runs_and_is_sane(path_ref):
 
 def test_mlt_brightness_matches_path(path_ref):
     img = render(load_scene_string(scene_with(
-        'Integrator "mlt" "integer maxdepth" 3 "integer bootstrapsamples" [8192] '
-        '"integer chains" [1024] "integer mutationsperpixel" [60]')))
+        'Integrator "mlt" "integer maxdepth" 3 "integer bootstrapsamples" [4096] '
+        '"integer chains" [512] "integer mutationsperpixel" [48]')))
     # MLT normalizes absolute brightness through b — mean must agree
     np.testing.assert_allclose(img.mean(), path_ref.mean(), rtol=0.25)
 

@@ -1,0 +1,79 @@
+"""MIPMap pyramid, trilinear/anisotropic filtering, ray differentials.
+
+Reference: core/src/mipmap/ lookup semantics (trilinear :226, EWA :252) and
+surface_interaction.rs:203 compute_differentials.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.textures.image import (build_atlas, sample_atlas,
+                                     sample_atlas_trilinear, sample_atlas_aniso)
+from pbrt_tpu.textures import TextureTable
+from pbrt_tpu.core.interaction import (SurfaceInteraction, make_frame,
+                                       compute_differentials)
+from pbrt_tpu.core.ray import Rays
+
+
+def _table(images):
+    atlas, sizes, nlev = build_atlas(images)
+    return TextureTable(kind=None, params=None, child=None, w2t=None,
+                        image_id=jnp.arange(len(images), dtype=jnp.int32),
+                        atlas=jnp.asarray(atlas), atlas_size=jnp.asarray(sizes),
+                        atlas_levels=jnp.asarray(nlev))
+
+
+def test_constant_image_invariant_across_levels():
+    im = np.full((64, 48, 3), [0.25, 0.5, 0.75], np.float32)
+    tt = _table([im])
+    st = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (32, 2)), jnp.float32)
+    tid = jnp.zeros(32, jnp.int32)
+    assert np.allclose(np.asarray(sample_atlas(tt, tid, st)),
+                       [0.25, 0.5, 0.75], atol=2e-3)
+    for w in (1e-3, 0.05, 1.0):
+        c = sample_atlas_trilinear(tt, tid, st, jnp.full(32, w))
+        assert np.allclose(np.asarray(c), [0.25, 0.5, 0.75], atol=3e-3), w
+
+
+def test_checker_filters_to_mean():
+    im = ((np.indices((128, 128)) // 8).sum(0) % 2).astype(np.float32)
+    im = np.stack([im] * 3, -1)
+    tt = _table([im])
+    st = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (256, 2)), jnp.float32)
+    tid = jnp.zeros(256, jnp.int32)
+    wide = sample_atlas_trilinear(tt, tid, st, jnp.full(256, 1.0))
+    assert abs(float(wide.mean()) - 0.5) < 0.03
+    narrow = sample_atlas_trilinear(tt, tid, st, jnp.full(256, 1e-4))
+    assert float(narrow.std()) > 0.3   # sharp at fine level
+    # anisotropic: blur along s only -> rows mix, finite values
+    dst0 = jnp.tile(jnp.asarray([[0.3, 0.0]], jnp.float32), (256, 1))
+    dst1 = jnp.tile(jnp.asarray([[0.0, 1e-3]], jnp.float32), (256, 1))
+    an = sample_atlas_aniso(tt, tid, st, dst0, dst1)
+    assert np.isfinite(np.asarray(an)).all()
+    assert abs(float(an.mean()) - 0.5) < 0.05
+
+
+def test_compute_differentials_plane():
+    N = 8
+    p = np.zeros((N, 3), np.float32)
+    p[:, 0] = np.linspace(-1, 1, N)
+    ns = np.tile([0, 0, 1.0], (N, 1)).astype(np.float32)
+    dpdu = np.tile([2.0, 0, 0], (N, 1)).astype(np.float32)  # u = x/2
+    dpdv = np.tile([0, 1.0, 0], (N, 1)).astype(np.float32)
+    z = jnp.zeros(N, jnp.float32)
+    ss, ts = make_frame(jnp.asarray(ns), jnp.asarray(dpdu))
+    si = SurfaceInteraction(
+        valid=jnp.ones(N, bool), t=jnp.ones(N), p=jnp.asarray(p),
+        p_err=jnp.zeros((N, 3)), wo=jnp.asarray(ns), ng=jnp.asarray(ns),
+        ns=jnp.asarray(ns), ss=ss, ts=ts, uv=jnp.zeros((N, 2)),
+        dpdu=jnp.asarray(dpdu), dpdv=jnp.asarray(dpdv),
+        prim=jnp.zeros(N, jnp.int32), material=jnp.zeros(N, jnp.int32),
+        area_light=jnp.full(N, -1, jnp.int32), dudx=z, dvdx=z, dudy=z, dvdy=z)
+    o = p + np.array([0, 0, 1.0], np.float32)
+    d = np.tile([0, 0, -1.0], (N, 1)).astype(np.float32)
+    rays = Rays.make(jnp.asarray(o), jnp.asarray(d))
+    rays = rays._replace(rx_o=jnp.asarray(o + [0.1, 0, 0]), rx_d=jnp.asarray(d),
+                         ry_o=jnp.asarray(o + [0, 0.05, 0]), ry_d=jnp.asarray(d))
+    si2 = compute_differentials(si, rays)
+    assert np.allclose(np.asarray(si2.dudx), 0.05, atol=1e-5)  # 0.1 / 2
+    assert np.allclose(np.asarray(si2.dvdy), 0.05, atol=1e-5)
+    assert np.allclose(np.asarray(si2.dvdx), 0.0, atol=1e-6)
