@@ -56,6 +56,13 @@ class LightTable(NamedTuple):
     env_marg_cdf: jnp.ndarray    # [H+1]
     env_marg_int: jnp.ndarray    # scalar
     env_image: jnp.ndarray       # [H, W, 3] equirect radiance (1x1 if none)
+    # light-sampling geometry: per-emitter triangles, concatenated across
+    # lights in the same order as tri_cdf (mesh emitters copy their scene
+    # triangles; quadric emitters are tessellated at build —
+    # shapes/quadrics.py tessellate_quadric). params[2] offsets into these.
+    ltri_p0: jnp.ndarray   # [C,3]
+    ltri_p1: jnp.ndarray   # [C,3]
+    ltri_p2: jnp.ndarray   # [C,3]
 
     @property
     def n_lights(self):
@@ -160,16 +167,16 @@ def _sample_area(lights, scene, li_idx, ref_p, u2) -> LiSample:
         lo = jnp.where(go_right, jnp.minimum(mid + 1, tri_count), lo)
         hi = jnp.where(go_right, hi, mid)
     k = jnp.clip(lo, 0, tri_count - 1)
-    tri = jnp.clip(tri_start + k, 0, scene.tri_p0.shape[0] - 1)
+    tri = jnp.clip(tri_start + k, 0, lights.ltri_p0.shape[0] - 1)
     # remap u0 within the selected triangle's CDF span
     c_lo = jnp.where(k > 0, lights.tri_cdf[jnp.clip(cdf_off + k - 1, 0, C - 1)], 0.0)
     c_hi = lights.tri_cdf[jnp.clip(cdf_off + k, 0, C - 1)]
     u0r = jnp.clip((u0 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-9), 0.0, vm.ONE_MINUS_EPSILON)
     uu = jnp.stack([u0r, u2[:, 1]], -1)
     b = uniform_sample_triangle(uu)
-    p0 = scene.tri_p0[tri]
-    p1 = scene.tri_p1[tri]
-    p2 = scene.tri_p2[tri]
+    p0 = lights.ltri_p0[tri]
+    p1 = lights.ltri_p1[tri]
+    p2 = lights.ltri_p2[tri]
     p = b[:, 0:1] * p0 + b[:, 1:2] * p1 + (1.0 - b[:, 0:1] - b[:, 1:2]) * p2
     ng = cross(p1 - p0, p2 - p0)
     area2 = vm.length(ng)
@@ -427,14 +434,14 @@ def _area_point(lights, scene, li_idx, u2):
         lo = jnp.where(go_right, jnp.minimum(mid + 1, tri_count), lo)
         hi = jnp.where(go_right, hi, mid)
     k = jnp.clip(lo, 0, tri_count - 1)
-    tri = jnp.clip(tri_start + k, 0, scene.tri_p0.shape[0] - 1)
+    tri = jnp.clip(tri_start + k, 0, lights.ltri_p0.shape[0] - 1)
     c_lo = jnp.where(k > 0, lights.tri_cdf[jnp.clip(cdf_off + k - 1, 0, C - 1)], 0.0)
     c_hi = lights.tri_cdf[jnp.clip(cdf_off + k, 0, C - 1)]
     u0r = jnp.clip((u0 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-9), 0.0, vm.ONE_MINUS_EPSILON)
     b = uniform_sample_triangle(jnp.stack([u0r, u2[:, 1]], -1))
-    p0 = scene.tri_p0[tri]
-    p1 = scene.tri_p1[tri]
-    p2 = scene.tri_p2[tri]
+    p0 = lights.ltri_p0[tri]
+    p1 = lights.ltri_p1[tri]
+    p2 = lights.ltri_p2[tri]
     p = b[:, 0:1] * p0 + b[:, 1:2] * p1 + (1.0 - b[:, 0:1] - b[:, 1:2]) * p2
     ngr = cross(p1 - p0, p2 - p0)
     ng = ngr / jnp.maximum(vm.length(ngr), 1e-12)[:, None]

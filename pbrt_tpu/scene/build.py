@@ -120,6 +120,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     prim_medium = []
     shape_tri_range = {}   # shape index -> (start, count) for area lights
     shape_quad_index = {}
+    shape_quad_rev = {}
 
     n_tri = 0
     for si, rec in enumerate(desc.shapes):
@@ -152,6 +153,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         else:
             rev = rec.reverse_orientation ^ Transform(rec.o2w).swaps_handedness()
             prim_rev.append(rev)
+            shape_quad_rev[si] = rev
             shape_quad_index[si] = len(quads)
             quads.append((rec.quad_type, rec.o2w, rec.w2o, rec.quad_params,
                           rec.quad_area, pid))
@@ -237,7 +239,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
 
     # ---- lights ----
     lights_rows = []
-    tri_cdf_all, tri_area_all = [], []
+    tri_cdf_all, tri_area_all, ltri_all = [], [], []
     env_image = np.zeros((1, 1, 3), np.float32)
     env_built = None
     for li, lr in enumerate(desc.lights):
@@ -283,32 +285,33 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
             sidx = lr.shape_index
             if sidx in shape_tri_range:
                 start, count = shape_tri_range[sidx]
+                light_tris = tp[start:start + count]      # [T,3,3]
                 params[0] = 1.0
-                params[2] = start
-                params[3] = count
-                # per-triangle areas + cdf
-                P0 = tp[start:start + count, 0]
-                P1 = tp[start:start + count, 1]
-                P2 = tp[start:start + count, 2]
-                areas = 0.5 * np.linalg.norm(np.cross(P1 - P0, P2 - P0), axis=-1)
-                total = float(areas.sum())
-                params[4] = max(total, 1e-12)
-                params[6] = sum(len(c) for c in tri_cdf_all)
-                cdf = np.cumsum(areas) / max(total, 1e-12)
-                tri_cdf_all.append(cdf.astype(np.float32))
-                tri_area_all.append(areas.astype(np.float32))
             elif sidx in shape_quad_index:
                 qi = shape_quad_index[sidx]
-                # quadric area lights: tessellate? round-1: treat the quadric
-                # surface via its parametric sampling — approximate with the
-                # bounding-sphere disk is WRONG; instead sample the quadric
-                # by tessellation at build time. For now: convert quadric
-                # area lights to mesh at api level is TODO; use quad ref.
+                # quadric emitter: dense build-time tessellation so every
+                # area light samples through the same triangle-CDF gather
+                # kernel (reference samples quadrics analytically per shape,
+                # shapes/src/sphere.rs sample — divergent per-kind code the
+                # wavefront design avoids)
+                from pbrt_tpu.shapes.quadrics import tessellate_quadric
+                light_tris = tessellate_quadric(int(qt[qi]), qp[qi], qo2w[qi],
+                                                flip_normal=shape_quad_rev.get(sidx, False))
                 params[0] = 0.0
                 params[1] = qi
-                params[4] = max(qarea[qi], 1e-12)
             else:
                 continue
+            P0, P1, P2 = light_tris[:, 0], light_tris[:, 1], light_tris[:, 2]
+            areas = 0.5 * np.linalg.norm(np.cross(P1 - P0, P2 - P0), axis=-1)
+            total = float(areas.sum())
+            params[2] = sum(len(c) for c in tri_cdf_all)   # ltri offset
+            params[3] = len(areas)
+            params[4] = max(total, 1e-12)
+            params[6] = params[2]                          # cdf offset
+            cdf = np.cumsum(areas) / max(total, 1e-12)
+            tri_cdf_all.append(cdf.astype(np.float32))
+            tri_area_all.append(areas.astype(np.float32))
+            ltri_all.append(light_tris.astype(np.float32))
         elif kid == L_INFINITE:
             L = ps.find_one_rgb("L", [1, 1, 1]) * scale
             mapname = ps.find_one_string("mapname", "")
@@ -345,6 +348,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
 
     tri_cdf = np.concatenate(tri_cdf_all) if tri_cdf_all else np.zeros(1, np.float32)
     tri_area = np.concatenate(tri_area_all) if tri_area_all else np.zeros(1, np.float32)
+    ltri = (np.concatenate(ltri_all) if ltri_all
+            else np.zeros((1, 3, 3), np.float32))
 
     # env importance distribution (luminance * sin(theta))
     H, W = env_image.shape[:2]
@@ -369,7 +374,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         jnp.asarray(tri_cdf), jnp.asarray(tri_area),
         jnp.asarray(f2d), jnp.asarray(cond_cdf), jnp.asarray(cond_int),
         jnp.asarray(cond_int), jnp.asarray(marg_cdf), jnp.asarray(np.float32(marg_int)),
-        jnp.asarray(env_image))
+        jnp.asarray(env_image),
+        jnp.asarray(ltri[:, 0]), jnp.asarray(ltri[:, 1]), jnp.asarray(ltri[:, 2]))
 
     # light selection distribution (power strategy,
     # core/src/light_distrib/mod.rs power)

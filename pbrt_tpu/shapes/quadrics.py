@@ -376,3 +376,144 @@ def quadric_object_bounds(qtype: int, qp) -> tuple:
         zmin, zmax = min(p1[2], p2[2]), max(p1[2], p2[2])
         return np.array([-rmax, -rmax, zmin]), np.array([rmax, rmax, zmax])
     raise ValueError(qtype)
+
+
+def tessellate_quadric(qtype: int, qp, o2w: np.ndarray,
+                       nu: int = 64, nv: int = 32,
+                       flip_normal: bool = False) -> np.ndarray:
+    """Host-side parametric tessellation of a quadric surface to world-space
+    triangles [T, 3, 3]. Used to give quadric AREA LIGHTS an exact
+    uniform-by-area sampling path (the reference samples quadric emitters
+    analytically per shape — shapes/src/sphere.rs sample / disk.rs sample;
+    the TPU build samples a dense tessellation through one shared triangle
+    CDF, keeping light sampling a single gather kernel for every emitter).
+
+    Vertices are pushed OUTWARD along the surface normal by the measured
+    facet sag so the tessellation circumscribes the analytic surface —
+    otherwise every shadow ray toward an (inscribed, hence interior) sample
+    point would first hit the quadric itself and the emitter self-shadows.
+
+    The (u, v) grids follow each shape's intersect() parameterization, so
+    partial sweeps (zmin/zmax/phimax) tessellate exactly the emitting region.
+    """
+    qp = np.asarray(qp, np.float64)
+
+    if qtype == SPHERE:
+        r, zmin, zmax, phimax = qp[0], qp[1], qp[2], qp[3]
+        tmin = np.arccos(np.clip(zmax / r, -1, 1))
+        tmax = np.arccos(np.clip(zmin / r, -1, 1))
+
+        def eval_p(U, V):
+            phi = U * phimax
+            theta = tmin + V * (tmax - tmin)
+            st = np.sin(theta)
+            return np.stack([r * st * np.cos(phi), r * st * np.sin(phi),
+                             r * np.cos(theta)], -1)
+    elif qtype == CYLINDER:
+        r, zmin, zmax, phimax = qp[0], qp[1], qp[2], qp[3]
+
+        def eval_p(U, V):
+            phi = U * phimax
+            return np.stack([r * np.cos(phi), r * np.sin(phi),
+                             zmin + V * (zmax - zmin)], -1)
+    elif qtype == DISK:
+        h, r, ir, phimax = qp[0], qp[1], qp[2], qp[3]
+
+        def eval_p(U, V):
+            phi = U * phimax
+            rad = np.sqrt(ir * ir + V * (r * r - ir * ir))
+            return np.stack([rad * np.cos(phi), rad * np.sin(phi),
+                             np.full_like(phi, h)], -1)
+    elif qtype == CONE:
+        r, h, phimax = qp[0], qp[1], qp[2]
+
+        def eval_p(U, V):
+            phi = U * phimax
+            return np.stack([r * (1 - V) * np.cos(phi),
+                             r * (1 - V) * np.sin(phi), V * h], -1)
+    elif qtype == PARABOLOID:
+        r, zmin, zmax, phimax = qp[0], qp[1], qp[2], qp[3]
+
+        def eval_p(U, V):
+            phi = U * phimax
+            z = zmin + V * (zmax - zmin)
+            rad = r * np.sqrt(np.maximum(z / max(zmax, 1e-12), 0.0))
+            return np.stack([rad * np.cos(phi), rad * np.sin(phi), z], -1)
+    elif qtype == HYPERBOLOID:
+        p1, p2, phimax = qp[0:3], qp[4:7], qp[3]
+
+        def eval_p(U, V):
+            phi = U * phimax
+            x = (1 - V) * p1[0] + V * p2[0]
+            y = (1 - V) * p1[1] + V * p2[1]
+            z = (1 - V) * p1[2] + V * p2[2]
+            return np.stack([x * np.cos(phi) - y * np.sin(phi),
+                             x * np.sin(phi) + y * np.cos(phi), z], -1)
+    else:
+        raise ValueError(qtype)
+
+    uu = np.linspace(0.0, 1.0, nu + 1)
+    vv = np.linspace(0.0, 1.0, nv + 1)
+    U, V = np.meshgrid(uu, vv, indexing="ij")      # [nu+1, nv+1]
+    P = eval_p(U, V)
+
+    # facet sag: distance from the true surface at each facet center to the
+    # facet corner average; max over the grid is how far inside the surface
+    # any point of the inscribed tessellation can lie
+    Um, Vm = np.meshgrid(0.5 * (uu[:-1] + uu[1:]), 0.5 * (vv[:-1] + vv[1:]),
+                         indexing="ij")
+    Pm = eval_p(Um, Vm)
+    corner_avg = 0.25 * (P[:-1, :-1] + P[1:, :-1] + P[1:, 1:] + P[:-1, 1:])
+    sag = float(np.linalg.norm(Pm - corner_avg, axis=-1).max())
+
+    # per-shape OUTWARD reference direction (object space): the sphere is
+    # radial from the origin, the disk faces +z (shapes/src/disk.rs normal),
+    # every axial sweep has a positive radial normal component
+    if qtype == SPHERE:
+        ref_dir = P.copy()
+    elif qtype == DISK:
+        ref_dir = np.zeros_like(P)
+        ref_dir[..., 2] = 1.0
+    else:
+        ref_dir = P.copy()
+        ref_dir[..., 2] = 0.0
+
+    if sag > 0.0:
+        # outward vertex normals from parametric partials (numeric), oriented
+        # by the per-shape outward reference
+        hstep = 1e-4
+        du = eval_p(np.clip(U + hstep, 0, 1), V) - eval_p(np.clip(U - hstep, 0, 1), V)
+        dv = eval_p(U, np.clip(V + hstep, 0, 1)) - eval_p(U, np.clip(V - hstep, 0, 1))
+        nrm = np.cross(du, dv)
+        nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
+        rlen = np.linalg.norm(ref_dir, axis=-1, keepdims=True)
+        # degenerate partials (sphere poles): fall back to the reference dir
+        nrm = np.where(nlen > 1e-9, nrm / np.maximum(nlen, 1e-30),
+                       ref_dir / np.maximum(rlen, 1e-30))
+        sgn = np.sign(np.sum(nrm * ref_dir, -1, keepdims=True))
+        sgn = np.where(np.abs(sgn) < 0.5, 1.0, sgn)
+        P = P + nrm * sgn * (1.001 * sag)
+
+    m = np.asarray(o2w, np.float64)
+    Pw = P @ m[:3, :3].T + m[:3, 3]
+    ref_w = ref_dir @ m[:3, :3].T          # normals transform ~ok for rigid+scale
+    a, ra = Pw[:-1, :-1], ref_w[:-1, :-1]
+    b = Pw[1:, :-1]
+    c, rc = Pw[1:, 1:], ref_w[1:, 1:]
+    d = Pw[:-1, 1:]
+    t1 = np.stack([a, b, c], -2).reshape(-1, 3, 3)
+    t2 = np.stack([a, c, d], -2).reshape(-1, 3, 3)
+    tris = np.concatenate([t1, t2], 0)
+    refs = np.concatenate([ra.reshape(-1, 3), rc.reshape(-1, 3)], 0)
+    # orient winding so cross(p1-p0, p2-p0) is the emission side: outward,
+    # XOR reverse-orientation (diffuse.rs uses the shape normal; the
+    # one-sided `emits` test in lights/_sample_area reads this winding)
+    fn = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    want_neg = (np.sum(fn * refs, -1) < 0.0) ^ bool(flip_normal)
+    tris[want_neg] = tris[want_neg][:, ::-1]
+    tris = tris.astype(np.float32)
+    # drop degenerate slivers (poles, inner radius 0)
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    area2 = np.linalg.norm(np.cross(e1, e2), axis=-1)
+    return tris[area2 > 1e-12]
