@@ -103,7 +103,10 @@ def length(v):
 
 
 def normalize(v):
-    return v * jax.lax.rsqrt(jnp.maximum(length_squared(v), 1e-38))[..., None]
+    # floor at 1e-20 (not 1e-38): the rsqrt VJP carries rsqrt(x)^3, which
+    # overflows f32 below ~2e-26 and turns masked-lane cotangents into
+    # 0*inf=NaN that poison every gradient upstream (tests/test_diff.py)
+    return v * jax.lax.rsqrt(jnp.maximum(length_squared(v), 1e-20))[..., None]
 
 
 def distance(a, b):

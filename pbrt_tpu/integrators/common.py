@@ -24,6 +24,7 @@ from pbrt_tpu.cameras import CameraSamples, generate_rays
 from pbrt_tpu.materials import compute_lobes
 from pbrt_tpu.materials import bsdf as B
 from pbrt_tpu import lights as LT
+from pbrt_tpu.lights.distrib import spatial_sample_discrete, spatial_pdf
 from pbrt_tpu.scene.intersect import intersect, intersect_p
 
 CAMERA_DIMS = 5
@@ -48,6 +49,36 @@ def camera_rays(cs, px, py, sample_idx, spp_for_diff=1):
     return rays, w, p_film
 
 
+def select_light(cs, p, u_sel):
+    """Pick a light per lane: (light_idx, pmf, u_remap).
+
+    Strategy per core/src/light_distrib/mod.rs create_light_sample_distribution:
+    "power" (default here), "uniform", or "spatial" (voxel grid, distrib.py).
+    """
+    flags = cs.flags
+    data = cs.data
+    if flags.light_strategy == "spatial" and data.light_spatial is not None:
+        return spatial_sample_discrete(data.light_spatial, p, u_sel)
+    if flags.light_strategy == "uniform":
+        nl = flags.n_lights
+        idx = jnp.minimum((u_sel * nl).astype(jnp.int32), nl - 1)
+        pmf = jnp.full(u_sel.shape, 1.0 / nl, jnp.float32)
+        return idx, pmf, jnp.minimum(u_sel * nl - idx.astype(jnp.float32), 0.99999994)
+    return data.light_distr.sample_discrete(u_sel)
+
+
+def select_light_pdf(cs, p, light_idx):
+    """PMF that select_light at p would pick light_idx."""
+    flags = cs.flags
+    data = cs.data
+    safe = jnp.maximum(light_idx, 0)
+    if flags.light_strategy == "spatial" and data.light_spatial is not None:
+        return spatial_pdf(data.light_spatial, p, safe)
+    if flags.light_strategy == "uniform":
+        return jnp.full(safe.shape, 1.0 / flags.n_lights, jnp.float32)
+    return data.light_distr.discrete_pdf(safe)
+
+
 def sample_one_light(cs, si, lobes, active, u_sel, u_light):
     """NEE with MIS light-sample half (integrator/common.rs:90,150).
 
@@ -57,7 +88,7 @@ def sample_one_light(cs, si, lobes, active, u_sel, u_light):
     ftab = data.fourier if flags.has_fourier else None
     if flags.n_lights == 0:
         return jnp.zeros(si.p.shape, jnp.float32)
-    light_idx, pmf, _ = data.light_distr.sample_discrete(u_sel)
+    light_idx, pmf, _ = select_light(cs, si.p, u_sel)
     ls = LT.sample_li(data.lights, data, light_idx, si.p, u_light,
                       data.world_center, data.world_radius)
     wi_local = si.world_to_local(ls.wi)
@@ -88,12 +119,15 @@ def light_pdf_for_dir(cs, prev_p, wi, si_next, light_idx):
     hit_cos = vm.absdot(si_next.ng, si_next.wo)
     pdf = LT.pdf_li(data.lights, data, light_idx, prev_p, wi,
                     si_next.t, hit_cos, data.world_radius)
-    pmf = data.light_distr.discrete_pdf(jnp.maximum(light_idx, 0))
+    pmf = select_light_pdf(cs, prev_p, light_idx)
     return pdf * pmf
 
 
-def infinite_pdf_for_dir(cs, wi):
-    """Combined pdf of NEE picking any infinite light and sampling wi."""
+def infinite_pdf_for_dir(cs, wi, prev_p=None):
+    """Combined pdf of NEE picking any infinite light and sampling wi.
+
+    prev_p: shading point the NEE would have been run from (needed for the
+    spatial strategy's position-dependent pmf; ignored otherwise)."""
     data = cs.data
     n = wi.shape[0]
     total = jnp.zeros((n,), jnp.float32)
@@ -102,6 +136,9 @@ def infinite_pdf_for_dir(cs, wi):
         idx = jnp.full((n,), li, jnp.int32)
         pdf = LT.pdf_li(data.lights, data, idx, wi * 0.0, wi,
                         jnp.ones((n,)), jnp.ones((n,)), data.world_radius)
-        pmf = data.light_distr.discrete_pdf(jnp.full((n,), li))
+        if prev_p is not None:
+            pmf = select_light_pdf(cs, prev_p, jnp.full((n,), li))
+        else:
+            pmf = data.light_distr.discrete_pdf(jnp.full((n,), li))
         total = total + jnp.where(kind_is_inf, pdf * pmf, 0.0)
     return total

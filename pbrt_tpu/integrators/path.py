@@ -114,7 +114,7 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
             if bounce == 0:
                 w = jnp.ones((n,), jnp.float32)
             else:
-                pdf_inf = infinite_pdf_for_dir(cs, normalize(d))
+                pdf_inf = infinite_pdf_for_dir(cs, normalize(d), prev_p)
                 w = jnp.where(specular_bounce, 1.0,
                               power_heuristic(1.0, prev_bsdf_pdf, 1.0, pdf_inf))
             L = L + jnp.where(esc[:, None], beta * le_inf * w[:, None], 0.0)

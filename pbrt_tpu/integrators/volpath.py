@@ -29,7 +29,7 @@ from pbrt_tpu import lights as LT
 from pbrt_tpu import media as MD
 from pbrt_tpu.scene.intersect import intersect, intersect_p
 from pbrt_tpu.integrators.common import (bounce_base, camera_rays,
-                                         light_pdf_for_dir,
+                                         light_pdf_for_dir, select_light,
                                          infinite_pdf_for_dir)
 
 
@@ -85,7 +85,7 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float =
             if bounce == 0:
                 w = jnp.ones((n,), jnp.float32)
             else:
-                pdf_inf = infinite_pdf_for_dir(cs, dn)
+                pdf_inf = infinite_pdf_for_dir(cs, dn, prev_p)
                 w = jnp.where(specular_bounce, 1.0,
                               power_heuristic(1.0, prev_bsdf_pdf, 1.0, pdf_inf))
             L = L + jnp.where(esc[:, None], beta * le_inf * w[:, None], 0.0)
@@ -116,8 +116,8 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float =
         u_sel = sample_dim(spec, px, py, sample_idx, base + 1)
         u_light = sample_2d(spec, px, py, sample_idx, base + 2)
         if flags.n_lights > 0:
-            light_idx, pmf, _ = data.light_distr.sample_discrete(u_sel)
             ref_p = jnp.where(in_medium[:, None], ms.p, si.p) if flags.n_media > 0 else si.p
+            light_idx, pmf, _ = select_light(cs, ref_p, u_sel)
             ls = LT.sample_li(data.lights, data, light_idx, ref_p, u_light,
                               data.world_center, data.world_radius)
             # scatter term: phase fn (medium) or bsdf*cos (surface)

@@ -1,0 +1,164 @@
+"""Spatially-varying light-selection distribution ("spatial" strategy).
+
+Reference: core/src/light_distrib/spatial.rs — a voxel grid over the scene
+bounds where each voxel holds a Distribution1D over lights, weighted by an
+unoccluded Li/pdf Monte-Carlo estimate of each light's contribution to the
+voxel (spatial.rs:96-165, N_SAMPLES=128 Halton points, 0.001*avg floor).
+
+TPU-native redesign: the reference builds voxel distributions LAZILY behind
+a lock-free hash table (ArcSwapOption, spatial.rs:35-47,170+) because a CPU
+thread pays per-voxel cost. Here the whole [Vx*Vy*Vz, n_lights] table is
+built EAGERLY in one vectorized jitted pass at scene-compile time — every
+voxel's 128 sample points and every light evaluated as one wavefront — and
+per-lane lookup at render time is a single gather + row-wise CDF inversion
+(no hashing, no locks, no lazy state).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbrt_tpu.core.sampling import ONE_MINUS_EPSILON
+from pbrt_tpu.core.spectrum import luminance
+from pbrt_tpu.samplers.lds import radical_inverse
+
+
+class SpatialLightDistrib(NamedTuple):
+    """Dense voxel grid of per-voxel light-selection PMFs (device pytree).
+
+    func/cdf mirror Distribution1D rows (sampling.py); nvox is carried as a
+    float array so the pytree stays jit-stable (static res lives in shapes).
+    """
+    func: jnp.ndarray      # [V, L] per-voxel unnormalized light weights
+    cdf: jnp.ndarray       # [V, L+1]
+    func_int: jnp.ndarray  # [V]
+    lo: jnp.ndarray        # [3] world bound min
+    inv_extent: jnp.ndarray  # [3] 1/diagonal (0 where degenerate)
+    nvox: jnp.ndarray      # [3] float voxel counts per axis
+
+
+def _voxel_counts(lo: np.ndarray, hi: np.ndarray, max_voxels: int) -> np.ndarray:
+    """Per-axis voxel counts: widest axis gets max_voxels, others scale so
+    voxels are roughly cubical (spatial.rs:69-82)."""
+    diag = np.maximum(hi - lo, 0.0)
+    bmax = float(diag.max())
+    if bmax <= 0.0:
+        return np.ones(3, np.int64)
+    return np.maximum(1, np.round(diag / bmax * max_voxels)).astype(np.int64)
+
+
+N_SAMPLES = 128  # spatial.rs:118
+
+
+def build_spatial_distrib(scene_data, flags, max_voxels: int = 16):
+    """Eagerly compute the whole voxel grid (one jitted wavefront).
+
+    max_voxels: resolution of the widest axis. The reference defaults to 64
+    (spatial.rs:64); a dense 64-wide grid is fine for few lights but we
+    default to 16 to bound the table at V*L floats — per-voxel quality is
+    identical, only spatial granularity differs (tunable per scene).
+    """
+    from pbrt_tpu import lights as LT
+
+    n_lights = flags.n_lights
+    wc = np.asarray(scene_data.world_center)
+    wr = float(np.asarray(scene_data.world_radius))
+    lo = wc - wr
+    hi = wc + wr
+    nv = _voxel_counts(lo, hi, max_voxels)
+    V = int(nv.prod())
+
+    # voxel-corner lattice + per-voxel Halton offsets (bases 0,1,2 for the
+    # position, 3,4 for the light sample — spatial.rs:120-137)
+    iz, iy, ix = np.meshgrid(np.arange(nv[2]), np.arange(nv[1]),
+                             np.arange(nv[0]), indexing="ij")
+    corner01 = np.stack([ix, iy, iz], -1).reshape(V, 3).astype(np.float32)
+
+    # spatial.rs:120-137 uses prime indices 0..4 -> bases 2,3,5,7,11
+    samp = np.arange(N_SAMPLES, dtype=np.int64)
+    u_pos = np.stack([np.asarray(radical_inverse(2, samp)),
+                      np.asarray(radical_inverse(3, samp)),
+                      np.asarray(radical_inverse(5, samp))], -1)  # [S,3]
+    u_li = np.stack([np.asarray(radical_inverse(7, samp)),
+                     np.asarray(radical_inverse(11, samp))], -1)  # [S,2]
+
+    extent = (hi - lo).astype(np.float32)
+    # [V,S,3] world points: lerp(voxel corner + halton offset over the grid)
+    t01 = (corner01[:, None, :] + u_pos[None, :, :].astype(np.float32)) / nv.astype(np.float32)
+    pts = (lo.astype(np.float32) + t01 * extent).reshape(V * N_SAMPLES, 3)
+
+    pts_d = jnp.asarray(pts)
+    u_d = jnp.tile(jnp.asarray(u_li, jnp.float32), (V, 1))
+
+    def contrib_for_light(li: int):
+        idx = jnp.full((pts_d.shape[0],), li, jnp.int32)
+        ls = LT.sample_li(scene_data.lights, scene_data, idx, pts_d, u_d,
+                          scene_data.world_center, scene_data.world_radius)
+        w = jnp.where(ls.pdf > 0.0,
+                      luminance(ls.li) / jnp.maximum(ls.pdf, 1e-20), 0.0)
+        return jnp.sum(w.reshape(V, N_SAMPLES), axis=1)
+
+    @jax.jit
+    def build():
+        cols = [contrib_for_light(li) for li in range(n_lights)]
+        contrib = jnp.stack(cols, axis=1)  # [V, L]
+        # 0.001*avg floor so no light gets zero probability (spatial.rs:150-158)
+        avg = jnp.sum(contrib, axis=1, keepdims=True) / (N_SAMPLES * n_lights)
+        floor = jnp.where(avg > 0.0, 1e-3 * avg, 1.0)
+        contrib = jnp.maximum(contrib, floor)
+        # batched Distribution1D rows (sampling.py Distribution1D.build)
+        cdf = jnp.concatenate(
+            [jnp.zeros((V, 1), jnp.float32),
+             jnp.cumsum(contrib, -1, dtype=jnp.float32) / n_lights], -1)
+        func_int = cdf[:, -1]
+        safe = jnp.where(func_int > 0.0, func_int, 1.0)
+        cdf = cdf / safe[:, None]
+        cdf = cdf.at[:, -1].set(1.0)
+        return contrib, cdf, func_int
+
+    func, cdf, func_int = build()
+    inv_ext = np.where(extent > 0.0, 1.0 / np.maximum(extent, 1e-20), 0.0)
+    return SpatialLightDistrib(
+        func, cdf, func_int,
+        jnp.asarray(lo.astype(np.float32)),
+        jnp.asarray(inv_ext.astype(np.float32)),
+        jnp.asarray(nv.astype(np.float32)))
+
+
+def _voxel_index(sd: SpatialLightDistrib, p):
+    """[N,3] world points -> [N] flat voxel ids (spatial.rs lookup clamp)."""
+    t = (p - sd.lo) * sd.inv_extent
+    pi = jnp.clip((t * sd.nvox).astype(jnp.int32), 0,
+                  sd.nvox.astype(jnp.int32) - 1)  # [N,3]
+    nx = sd.nvox[0].astype(jnp.int32)
+    ny = sd.nvox[1].astype(jnp.int32)
+    return pi[:, 0] + nx * (pi[:, 1] + ny * pi[:, 2])
+
+
+def spatial_sample_discrete(sd: SpatialLightDistrib, p, u):
+    """Per-lane light pick from the voxel at p: (light_idx, pmf, u_remap)."""
+    v = _voxel_index(sd, p)
+    row_cdf = sd.cdf[v]                    # [N, L+1]
+    L = row_cdf.shape[1] - 1
+    # row-wise CDF inversion: offset = #{interior cdf entries <= u}
+    offset = jnp.sum((row_cdf[:, 1:L] <= u[:, None]).astype(jnp.int32), -1)
+    pmf = spatial_pdf(sd, p, offset, _voxel=v)
+    lane = jnp.arange(u.shape[0])
+    c0 = row_cdf[lane, offset]
+    c1 = row_cdf[lane, offset + 1]
+    du = jnp.where(c1 > c0, (u - c0) / jnp.where(c1 > c0, c1 - c0, 1.0), 0.0)
+    return offset, pmf, jnp.minimum(du, ONE_MINUS_EPSILON)
+
+
+def spatial_pdf(sd: SpatialLightDistrib, p, light_idx, _voxel=None):
+    """PMF the voxel at p assigns to light_idx (Distribution1D discrete_pdf)."""
+    v = _voxel_index(sd, p) if _voxel is None else _voxel
+    L = sd.func.shape[1]
+    fi = sd.func_int[v]
+    denom = jnp.where(fi > 0.0, fi * L, 1.0)
+    lane = jnp.arange(v.shape[0])
+    f = sd.func[v, jnp.clip(light_idx, 0, L - 1)]
+    return jnp.where(fi > 0.0, f / denom, 0.0)

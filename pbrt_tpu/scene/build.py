@@ -412,7 +412,15 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         n_media=len(desc.media),
         any_grid_media=bool(np.any(np.asarray(media_tab.kind) == 1)) and len(desc.media) > 0,
         has_subsurface=bool(np.asarray(mats.sss[:, 0]).any()),
-        has_fourier=bool(fourier_tables))
+        has_fourier=bool(fourier_tables),
+        light_strategy=str(desc.integrator_params.as_plain_dict().get(
+            "lightsamplestrategy", "power")))
+
+    # spatial light-selection voxel grid (path.rs:314 lightsamplestrategy;
+    # eager vectorized build, lights/distrib.py)
+    if flags.light_strategy == "spatial" and n_lights > 0:
+        from pbrt_tpu.lights.distrib import build_spatial_distrib
+        data = data._replace(light_spatial=build_spatial_distrib(data, flags))
 
     # ---- specs ----
     res_params = desc.film_params

@@ -55,6 +55,9 @@ class SceneData(NamedTuple):
     # bounds
     world_center: jnp.ndarray    # [3]
     world_radius: jnp.ndarray    # scalar
+    # spatial light-selection voxel grid (lights/distrib.py); None unless
+    # the integrator's lightsamplestrategy is "spatial"
+    light_spatial: object = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +78,9 @@ class SceneFlags:
     any_grid_media: bool = False
     has_subsurface: bool = False
     has_fourier: bool = False
+    # light-selection strategy (core/src/light_distrib/mod.rs): "power"
+    # (default), "uniform", or "spatial"
+    light_strategy: str = "power"
 
 
 @dataclasses.dataclass
