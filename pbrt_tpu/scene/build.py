@@ -30,6 +30,13 @@ from pbrt_tpu.samplers import make_sampler
 MIN_BVH_TRIS = 64   # below this brute-force beats the traversal loop
 
 
+def _scalar(v):
+    """ParamSet values arrive as lists; unwrap single-element ones."""
+    if isinstance(v, (list, tuple)) and v:
+        return str(v[0])
+    return str(v)
+
+
 def compile_textures(decls, cwd="."):
     X = max(len(decls), 1)
     kind = np.zeros(X, np.int32)
@@ -413,7 +420,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         any_grid_media=bool(np.any(np.asarray(media_tab.kind) == 1)) and len(desc.media) > 0,
         has_subsurface=bool(np.asarray(mats.sss[:, 0]).any()),
         has_fourier=bool(fourier_tables),
-        light_strategy=str(desc.integrator_params.as_plain_dict().get(
+        light_strategy=_scalar(desc.integrator_params.as_plain_dict().get(
             "lightsamplestrategy", "power")))
 
     # spatial light-selection voxel grid (path.rs:314 lightsamplestrategy;
