@@ -52,7 +52,8 @@ def main(argv=None):
     opts = set_options(quick=args.quick, quiet=args.quiet, outfile=args.outfile,
                        crop_window=tuple(args.cropwindow) if args.cropwindow else None,
                        sppm_radius=args.sppm_radius, wavefront_size=args.wavefront,
-                       seed=args.seed, preview_every=args.preview)
+                       seed=args.seed, preview_every=args.preview,
+                       devices=args.devices)
 
     from pbrt_tpu.render import render_file
     from pbrt_tpu.utils.stats import STATS

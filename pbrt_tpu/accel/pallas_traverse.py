@@ -1,0 +1,366 @@
+"""Pallas TPU BVH traversal kernel — the renderer's hot inner loop.
+
+Why a kernel: XLA `while_loop` iterations cost ~80us each on TPU (fixed
+loop overhead, tools/bench_micro.py) and one-row HBM gathers cost
+40-700us — a per-ray lockstep traversal (accel/traverse.py) runs ~500
+iterations => ~500ms per 16K-ray wavefront. Inside one Pallas kernel the
+same loop is a *hardware* loop over VMEM-resident tables: zero
+per-iteration dispatch, node fetch is a dynamic VMEM slice + lane roll.
+
+Design (reference walk: accelerators/src/bvh/mod.rs:173-203 — one 64-deep
+node stack per CPU thread):
+
+  * rays are processed in blocks of ROWS x 128 (one grid step each);
+  * each of the ROWS sublane-rows is an independent 128-ray PACKET with
+    its own traversal stack in SMEM — a packet shares one node sequence,
+    so table traffic per iteration is ROWS records for ROWS*128 rays;
+  * node bounds are packed 8-per-row in a [ceil(M/8), 128] f32 VMEM
+    table (16 lanes per node: both children's bounds); fetch = dynamic
+    sublane slice + dynamic pltpu.roll + static lane slice;
+  * node int metadata (right-child, count, leaf-block, axis) is packed
+    32-per-row in a [ceil(M/32), 128] i32 VMEM table; the 4 scalars are
+    extracted by a roll into a VMEM scratch row and 4 static scalar
+    reads (Mosaic has no vector->scalar move; static-index VMEM scalar
+    reads are the supported path);
+  * leaf triangles are re-packed 4-aligned: each leaf owns a 64-lane
+    half-row of a [ceil(L/2), 128] table (4 triangles x 16 lanes), so a
+    leaf's whole primitive list is one slice — no per-triangle gathers.
+
+The triangle test is the same watertight translate/permute/shear test as
+shapes/triangle.py::intersect_tri (triangle.rs), with identical epsilons
+so per-ray / packet / Pallas paths agree bit-for-bit on hits.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.accel.bvh import BVH
+from pbrt_tpu.accel.traverse import TriHit
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 8            # ray rows per grid step (=> ROWS*128 rays / step)
+LANES = 128
+STACK = 64          # per-packet stack depth (bvh/mod.rs: 64)
+
+
+class PallasBVH(NamedTuple):
+    """Kernel-layout mirror of a BVH (pytree of device arrays)."""
+    nodes: jnp.ndarray   # [ceil(M/8), 128] f32 — 8 nodes/row x 16 lanes
+    meta: jnp.ndarray    # [ceil(M/32), 128] i32 — 32 nodes/row x 4 lanes
+    tris: jnp.ndarray    # [ceil(L/2), 128] f32 — 2 leaf blocks/row
+    order: jnp.ndarray   # [L*4] i32 — leaf slot -> original tri id (-1 pad)
+
+    @property
+    def vmem_bytes(self) -> int:
+        return (self.nodes.size + self.meta.size + self.tris.size) * 4
+
+
+def pack_pallas_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2) -> PallasBVH:
+    """Host-side re-pack of a built BVH + original-order triangles."""
+    packed = np.asarray(bvh.packed)
+    cnts = np.asarray(bvh.prim_count)
+    offs = np.asarray(bvh.prim_offset)
+    right = np.asarray(bvh.right_child)
+    axis = np.asarray(bvh.axis)
+    order = np.asarray(bvh.prim_order)
+    p0 = np.asarray(tri_p0)[order]
+    p1 = np.asarray(tri_p1)[order]
+    p2 = np.asarray(tri_p2)[order]
+    M = packed.shape[0]
+
+    # node bounds table: 12 bounds floats per node (lanes 12:16 unused)
+    rows = -(-M // 8)
+    nodes = np.zeros((rows * 8, 16), np.float32)
+    nodes[:M, :12] = packed[:, :12]
+    nodes = nodes.reshape(rows, 128)
+
+    # leaf blocks: 4-aligned, 16 lanes per triangle (p0,p1,p2, pad)
+    leaf_ids = np.nonzero(cnts > 0)[0]
+    L = max(len(leaf_ids), 1)
+    Lpad = -(-L // 2) * 2
+    blocks = np.zeros((Lpad, 4, 16), np.float32)
+    new_order = np.full(Lpad * 4, -1, np.int32)
+    mrows = -(-M // 32)
+    meta = np.zeros((mrows * 32, 4), np.int32)
+    meta[:M, 0] = right
+    meta[:M, 3] = axis
+    cs = np.minimum(cnts[leaf_ids], 4)
+    starts = offs[leaf_ids]
+    for b in range(len(leaf_ids)):
+        c = int(cs[b])
+        s = int(starts[b])
+        blocks[b, :c, 0:3] = p0[s:s + c]
+        blocks[b, :c, 3:6] = p1[s:s + c]
+        blocks[b, :c, 6:9] = p2[s:s + c]
+        new_order[b * 4:b * 4 + c] = order[s:s + c]
+    meta[leaf_ids, 1] = cs
+    meta[leaf_ids, 2] = np.arange(len(leaf_ids), dtype=np.int32)
+    tris = blocks.reshape(Lpad // 2, 128)
+    return PallasBVH(jnp.asarray(nodes), jnp.asarray(meta.reshape(mrows, 128)),
+                     jnp.asarray(tris), jnp.asarray(new_order))
+
+
+def _pick(ax_, ay_, az_, k):
+    """Select per-lane component by axis index k (0/1/2)."""
+    return jnp.where(k == 0, ax_, jnp.where(k == 1, ay_, az_))
+
+
+def _kernel(meta_ref, nodes_ref, tris_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+            t_out, tri_out, b1_out, b2_out,
+            stack_ref, sp_ref, mscr_ref, *, any_hit: bool, rows: int):
+    f32 = jnp.float32
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tm = tm_ref[:]
+
+    tiny = f32(1e-20)
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) < tiny, jnp.where(dx < 0, -tiny, tiny), dx)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) < tiny, jnp.where(dy < 0, -tiny, tiny), dy)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz) < tiny, jnp.where(dz < 0, -tiny, tiny), dz)
+
+    # watertight permutation constants (per ray, loop-invariant)
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    kz = jnp.where((adx >= ady) & (adx >= adz), 0, jnp.where(ady >= adz, 1, 2))
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+    dpz = _pick(dx, dy, dz, kz)
+    dpx = _pick(dx, dy, dz, kx)
+    dpy = _pick(dx, dy, dz, ky)
+    sz = 1.0 / jnp.where(dpz == 0.0, tiny, dpz)
+    sx = -dpx * sz
+    sy = -dpy * sz
+
+    # i32 0/1 (not bool): scalar-pred selects of i1 vregs don't lower
+    negi_x = jnp.where(dx < 0.0, 1, 0)
+    negi_y = jnp.where(dy < 0.0, 1, 0)
+    negi_z = jnp.where(dz < 0.0, 1, 0)
+
+    # outputs double as loop state
+    t_out[:] = tm
+    tri_out[:] = jnp.full((rows, LANES), -1, jnp.int32)
+    b1_out[:] = jnp.zeros((rows, LANES), f32)
+    b2_out[:] = jnp.zeros((rows, LANES), f32)
+
+    for s in range(rows):
+        stack_ref[s * STACK] = 0
+        sp_ref[s] = 1
+
+    def slab(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, t_best):
+        t0x = (lo_x - ox) * inv_dx
+        t1x = (hi_x - ox) * inv_dx
+        t0y = (lo_y - oy) * inv_dy
+        t1y = (hi_y - oy) * inv_dy
+        t0z = (lo_z - oz) * inv_dz
+        t1z = (hi_z - oz) * inv_dz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z)) * f32(1.00000024)
+        return (tn <= tf) & (tf > 0.0) & (tn < t_best)
+
+    def tri_test(v, t_best):
+        """v: [rows, 16] one triangle per row (16-lane record); watertight
+        test against all [rows, 128] rays."""
+        p0x, p0y, p0z = v[:, 0:1], v[:, 1:2], v[:, 2:3]
+        p1x, p1y, p1z = v[:, 3:4], v[:, 4:5], v[:, 5:6]
+        p2x, p2y, p2z = v[:, 6:7], v[:, 7:8], v[:, 8:9]
+
+        def shear(px, py, pz):
+            tx, ty, tz = px - ox, py - oy, pz - oz
+            vx = _pick(tx, ty, tz, kx)
+            vy = _pick(tx, ty, tz, ky)
+            vz = _pick(tx, ty, tz, kz)
+            return vx + sx * vz, vy + sy * vz, vz * sz
+
+        x0, y0, z0 = shear(p0x, p0y, p0z)
+        x1, y1, z1 = shear(p1x, p1y, p1z)
+        x2, y2, z2 = shear(p2x, p2y, p2z)
+        e0 = x1 * y2 - y1 * x2
+        e1 = x2 * y0 - y2 * x0
+        e2 = x0 * y1 - y0 * x1
+        same = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+        det = e0 + e1 + e2
+        t_sc = e0 * z0 + e1 * z1 + e2 * z2
+        # NB: no jnp.where on bool vectors — Mosaic cannot lower select_n
+        # on i1 operands ("Unsupported target bitwidth for truncation")
+        pos = det > 0
+        t_ok = (pos & (t_sc > f32(1e-4) * det) & (t_sc < t_best * det)) \
+            | (~pos & (t_sc < f32(1e-4) * det) & (t_sc > t_best * det))
+        hit = same & (det != 0.0) & t_ok
+        inv_det = 1.0 / jnp.where(det == 0.0, tiny, det)
+        return hit, t_sc * inv_det, e1 * inv_det, e2 * inv_det
+
+    def body(carry):
+        it = carry[0]
+
+        # ---- scalar pop phase ----
+        recs = []
+        tbs = []
+        scal = []  # (act, left, rch, cnt, blk, ax)
+        for s in range(rows):
+            sp_s = sp_ref[s]
+            act = sp_s > 0
+            spm = jnp.maximum(sp_s - 1, 0)
+            idx = stack_ref[s * STACK + spm]
+            idx = jnp.where(act, idx, 0)
+            sp_ref[s] = spm
+            # int meta: roll the 4-lane group to the front, stage in VMEM
+            # scratch, read back as scalars (static lane indices)
+            mrow = meta_ref[pl.ds(idx >> 5, 1), :]
+            mscr_ref[s:s + 1, :] = pltpu.roll(mrow, -(idx & 31) * 4, 1)
+            # f32 bounds: roll the 16-lane group to the front
+            nrow = nodes_ref[pl.ds(idx >> 3, 1), :]
+            rec = pltpu.roll(nrow, -(idx & 7) * 16, 1)[:, :16]
+            recs.append(rec)
+            scal.append([act, idx + 1])
+        for s in range(rows):
+            rch = mscr_ref[s, 0]
+            cnt = jnp.where(scal[s][0], mscr_ref[s, 1], 0)
+            blk = mscr_ref[s, 2]
+            ax = mscr_ref[s, 3]
+            scal[s].extend([rch, cnt, blk, ax])
+            trow = tris_ref[pl.ds(blk >> 1, 1), :]
+            tb = jnp.where((blk & 1) == 1, trow[:, 64:], trow[:, :64])
+            tbs.append(tb)
+
+        # per-row scalar -> [rows,1] i32 columns (Mosaic cannot concat or
+        # broadcast i1 vregs, so masks stay i32 until full [rows,128] width)
+        rec = jnp.concatenate(recs, axis=0)                    # [rows,16]
+        tri4 = jnp.concatenate(tbs, axis=0)                    # [rows,64]
+        zero_i = jnp.zeros((rows, LANES), jnp.int32)
+        cnt_col = jnp.concatenate(
+            [jnp.full((1, 1), c, jnp.int32) for (_, _, _, c, _, _) in scal],
+            axis=0) + zero_i
+        blk_col = jnp.concatenate(
+            [jnp.full((1, 1), b, jnp.int32) for (_, _, _, _, b, _) in scal], axis=0)
+        int_col = jnp.concatenate(
+            [jnp.full((1, 1), jnp.where(a & (c == 0), 1, 0), jnp.int32)
+             for (a, _, _, c, _, _) in scal], axis=0) + zero_i
+
+        # ---- vector phase: children box tests ----
+        t_best0 = t_out[:]
+        hit_l = slab(rec[:, 0:1], rec[:, 1:2], rec[:, 2:3],
+                     rec[:, 3:4], rec[:, 4:5], rec[:, 5:6], t_best0) & (int_col > 0)
+        hit_r = slab(rec[:, 6:7], rec[:, 7:8], rec[:, 8:9],
+                     rec[:, 9:10], rec[:, 10:11], rec[:, 11:12], t_best0) & (int_col > 0)
+
+        # ---- vector phase: leaf triangle tests (gated) ----
+        any_leaf = False
+        for (a, _, _, c, _, _) in scal:
+            any_leaf = jnp.logical_or(any_leaf, c > 0)
+
+        @pl.when(any_leaf)
+        def _leaf():
+            t_best = t_out[:]
+            tri_b = tri_out[:]
+            b1_b = b1_out[:]
+            b2_b = b2_out[:]
+            for j in range(4):
+                hit, t, b1, b2 = tri_test(tri4[:, j * 16:(j + 1) * 16], t_best)
+                ok = hit & (cnt_col > j)        # cnt_col is [rows,128] i32
+                t_best = jnp.where(ok, t, t_best)
+                tri_b = jnp.where(ok, blk_col * 4 + j, tri_b)
+                b1_b = jnp.where(ok, b1, b1_b)
+                b2_b = jnp.where(ok, b2, b2_b)
+            t_out[:] = t_best
+            tri_out[:] = tri_b
+            b1_out[:] = b1_b
+            b2_out[:] = b2_b
+
+        # ---- scalar push phase ----
+        cont = False
+        for s in range(rows):
+            act, left, rch, cnt, blk, ax = scal[s]
+            hl = jnp.sum(jnp.where(hit_l[s:s + 1, :], 1, 0)) > 0
+            hr = jnp.sum(jnp.where(hit_r[s:s + 1, :], 1, 0)) > 0
+            neg_row = jnp.where(ax == 0, negi_x[s:s + 1, :],
+                                jnp.where(ax == 1, negi_y[s:s + 1, :], negi_z[s:s + 1, :]))
+            swap = jnp.sum(neg_row) * 2 > LANES
+            near = jnp.where(swap, rch, left)
+            far = jnp.where(swap, left, rch)
+            h_near = jnp.where(swap, hr, hl)
+            h_far = jnp.where(swap, hl, hr)
+
+            @pl.when(h_far)
+            def _():
+                sp_s = sp_ref[s]
+                stack_ref[s * STACK + jnp.minimum(sp_s, STACK - 1)] = far
+                sp_ref[s] = jnp.minimum(sp_s + 1, STACK - 1)
+
+            @pl.when(h_near)
+            def _():
+                sp_s = sp_ref[s]
+                stack_ref[s * STACK + jnp.minimum(sp_s, STACK - 1)] = near
+                sp_ref[s] = jnp.minimum(sp_s + 1, STACK - 1)
+
+            if any_hit:
+                # a packet row is done as soon as every lane has some hit
+                all_hit = jnp.sum(jnp.where(tri_out[s:s + 1, :] >= 0, 1, 0)) == LANES
+
+                @pl.when(all_hit)
+                def _():
+                    sp_ref[s] = 0
+            cont = jnp.logical_or(cont, sp_ref[s] > 0)
+        return (it + 1, cont)
+
+    jax.lax.while_loop(lambda c: c[1], body, (0, True))
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False):
+    N = o.shape[0]
+    BLK = ROWS * LANES
+    npad = (-N) % BLK
+    zero_pad_d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (npad, 3))
+    o_p = jnp.concatenate([o, jnp.zeros((npad, 3), jnp.float32)], 0)
+    d_p = jnp.concatenate([d, zero_pad_d], 0)
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    tm_p = jnp.concatenate([tm, jnp.zeros((npad,), jnp.float32)], 0)
+    Np = N + npad
+    R = Np // LANES
+
+    def comp(v):
+        return v.reshape(R, LANES)
+
+    grid = Np // BLK
+    blk = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0))
+    kern = functools.partial(_kernel, any_hit=any_hit, rows=ROWS)
+    out_shapes = [jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+                  jax.ShapeDtypeStruct((R, LANES), jnp.int32),
+                  jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+                  jax.ShapeDtypeStruct((R, LANES), jnp.float32)]
+    t, tri, b1, b2 = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [blk] * 7,
+        out_specs=[blk] * 4,
+        scratch_shapes=[pltpu.SMEM((ROWS * STACK,), jnp.int32),
+                        pltpu.SMEM((ROWS,), jnp.int32),
+                        pltpu.VMEM((ROWS, 128), jnp.int32)],
+        interpret=interpret,
+    )(pb.meta, pb.nodes, pb.tris,
+      comp(o_p[:, 0]), comp(o_p[:, 1]), comp(o_p[:, 2]),
+      comp(d_p[:, 0]), comp(d_p[:, 1]), comp(d_p[:, 2]), comp(tm_p))
+    slot = tri.reshape(-1)[:N]
+    tri_id = jnp.where(slot >= 0, pb.order[jnp.maximum(slot, 0)], -1)
+    return TriHit(t.reshape(-1)[:N], tri_id,
+                  b1.reshape(-1)[:N], b2.reshape(-1)[:N])
+
+
+def intersect_bvh_pallas(pb: PallasBVH, o, d, t_max, any_hit: bool = False,
+                         interpret: bool = False) -> TriHit:
+    """Closest-hit (or any-hit) via the Pallas kernel. Same contract as
+    accel/traverse.py::intersect_bvh."""
+    return _traverse(pb, o, d, t_max, any_hit=any_hit, interpret=interpret)

@@ -256,10 +256,14 @@ def intersect_bvh_packet(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
 def intersect_bruteforce(tri_p0, tri_p1, tri_p2, o, d, t_max) -> TriHit:
     """All-pairs reference path for tiny scenes / correctness tests."""
     T = tri_p0.shape[0]
-    t_best = jnp.asarray(t_max, jnp.float32)
-    tri_best = jnp.full(o.shape[:1], -1, jnp.int32)
-    b1_best = jnp.zeros(o.shape[:1], jnp.float32)
-    b2_best = jnp.zeros(o.shape[:1], jnp.float32)
+    # derive every carry from the ray inputs so its sharding "varying" type
+    # is consistent under shard_map (see intersect_bvh above)
+    zero_f = (o[:, 0] + d[:, 0]) * 0.0
+    zero_i = zero_f.astype(jnp.int32)
+    t_best = jnp.asarray(t_max, jnp.float32) + zero_f
+    tri_best = zero_i - 1
+    b1_best = zero_f
+    b2_best = zero_f
 
     def body(i, st):
         t_best, tri_best, b1_best, b2_best = st

@@ -33,6 +33,55 @@ from pbrt_tpu.integrators.common import (bounce_base, camera_rays,
                                          infinite_pdf_for_dir)
 
 
+TR_SEGMENTS = 4  # shadow-ray medium-boundary crossings (reference: unbounded)
+
+
+def intersect_tr(data, flags, cur_medium, o, d, dist, keys, hashes):
+    """Multi-segment shadow-ray transmittance walk.
+
+    Reference: core/src/scene.rs:106 Scene::intersect_tr +
+    light/visibility_tester.rs tr(): repeatedly intersect toward the light;
+    a surface with a real material occludes, a null-material medium
+    interface is crossed (swapping the lane's medium) while per-segment
+    transmittance accumulates. Wavefront form: TR_SEGMENTS statically
+    unrolled rounds of closest-hit + masked medium swap; lanes that still
+    face an uncrossed boundary after the budget are conservatively
+    occluded (no light leaks).
+
+    Returns (tr [N,3], occluded [N]).
+    """
+    n = o.shape[0]
+    tr = jnp.ones((n, 3), jnp.float32)
+    occluded = jnp.zeros((n,), bool)
+    walking = jnp.ones((n,), bool)
+    remaining = dist
+    medium = cur_medium
+    pxu, pyu, su = hashes
+    for k in range(TR_SEGMENTS):
+        si = intersect(data, flags, o, d, remaining * (1.0 - 1e-3))
+        hit = walking & si.valid
+        mat_none = data.mats.kind[jnp.maximum(si.material, 0)] == 12  # M_NONE
+        is_null = (si.material < 0) | mat_none
+        occluded = occluded | (hit & ~is_null)
+        seg = jnp.where(hit, si.t, remaining)
+        if flags.n_media > 0:
+            ka = hash4(pxu, pyu, su, U32(keys + 2 * k))
+            kb = hash4(pxu, pyu, su, U32(keys + 2 * k + 1))
+            t_seg = MD.transmittance(data.media, medium, o, d, seg, ka, kb,
+                                     any_grid=flags.any_grid_media)
+            tr = jnp.where(walking[:, None], tr * t_seg, tr)
+        # cross null interfaces: swap medium, restart from the boundary
+        passing = hit & is_null & ~occluded
+        entering = dot(d, si.ng) < 0.0
+        pm = data.prim_medium[jnp.maximum(si.prim, 0)]
+        medium = jnp.where(passing, jnp.where(entering, pm[:, 0], pm[:, 1]), medium)
+        o = jnp.where(passing[:, None], si.spawn_origin(d), o)
+        remaining = jnp.where(passing, jnp.maximum(remaining - si.t, 0.0), remaining)
+        walking = passing
+    occluded = occluded | walking  # budget exhausted: no leaks
+    return tr, occluded
+
+
 def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.0):
     spec = cs.sampler
     data = cs.data
@@ -138,12 +187,13 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float =
             to_l = ls.p_light - so
             dist = vm.length(to_l)
             sd = to_l / jnp.maximum(dist, 1e-12)[:, None]
-            occ = intersect_p(data, flags, so, sd, dist * (1 - 1e-3))
             if flags.n_media > 0:
-                ka2, kb2 = med_keys(bounce, 3)
-                tr = MD.transmittance(data.media, cur_medium, so, sd, dist, ka2, kb2,
-                                      any_grid=flags.any_grid_media)
+                # shadow ray: full intersect_tr walk through null interfaces
+                # (scene.rs:106 / visibility_tester.rs tr())
+                tr, occ = intersect_tr(data, flags, cur_medium, so, sd, dist,
+                                       0xA100 + bounce * 16, (pxu, pyu, su))
             else:
+                occ = intersect_p(data, flags, so, sd, dist * (1 - 1e-3))
                 tr = jnp.ones((n, 3), jnp.float32)
             w_l = jnp.where(ls.is_delta, 1.0,
                             power_heuristic(1.0, ls.pdf * pmf, 1.0, pdf_b))

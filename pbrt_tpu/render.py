@@ -68,6 +68,9 @@ def render(cs: CompiledScene, options=None, verbose=False):
     if kind == "mlt":
         from pbrt_tpu.integrators.mlt import render_mlt
         return render_mlt(cs, options, verbose)
+    if options.devices and options.devices > 1:
+        from pbrt_tpu.parallel.mesh import render_sharded, make_ray_mesh
+        return render_sharded(cs, make_ray_mesh(options.devices), options, verbose)
     return render_sampler_integrator(cs, options, verbose)
 
 

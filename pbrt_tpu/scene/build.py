@@ -8,6 +8,7 @@ power distribution, and assemble camera/film/sampler specs.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pbrt_tpu.scene.api import SceneDescription
@@ -207,6 +208,19 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     use_bvh = n_tri_real >= MIN_BVH_TRIS
     accel = "bvh"
     kd = None
+    # Pallas traversal kernel: TPU backend + tables fit the VMEM budget
+    # (accel/pallas_traverse.py; opt out with PBRT_TPU_PALLAS=0)
+    pbvh = None
+    use_pallas = False
+    import os as _os
+    _pal_env = _os.environ.get("PBRT_TPU_PALLAS", "auto")
+    if (use_bvh and desc.accelerator_kind != "kdtree" and _pal_env != "0"
+            and (jax.default_backend() == "tpu" or _pal_env == "1")):
+        from pbrt_tpu.accel.pallas_traverse import pack_pallas_bvh
+        cand = pack_pallas_bvh(bvh, tp[:, 0], tp[:, 1], tp[:, 2])
+        if cand.vmem_bytes <= 12 * 1024 * 1024:
+            pbvh = cand
+            use_pallas = True
     if desc.accelerator_kind == "kdtree" and use_bvh:
         kd = build_kdtree(lo - eps, hi + eps)
         if kd is not None:
@@ -408,6 +422,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         media_tab,
         jnp.asarray(np.int32(med_ids.get(desc.camera_medium_name, -1))),
         jnp.asarray(wc.astype(np.float32)), jnp.asarray(np.float32(wr)))
+    if pbvh is not None:
+        data = data._replace(pbvh=pbvh)
 
     flags = SceneFlags(
         n_tris=n_tri_real, n_quadrics=n_quad_real, n_lights=n_lights,
@@ -420,6 +436,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         any_grid_media=bool(np.any(np.asarray(media_tab.kind) == 1)) and len(desc.media) > 0,
         has_subsurface=bool(np.asarray(mats.sss[:, 0]).any()),
         has_fourier=bool(fourier_tables),
+        use_pallas=use_pallas,
         light_strategy=_scalar(desc.integrator_params.as_plain_dict().get(
             "lightsamplestrategy", "power")))
 

@@ -97,7 +97,10 @@ def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max) -> SurfaceIntera
 
     # triangles
     if flags.n_tris > 0:
-        if flags.use_bvh and flags.accel == "kdtree":
+        if flags.use_pallas:
+            from pbrt_tpu.accel.pallas_traverse import intersect_bvh_pallas
+            th = intersect_bvh_pallas(scene.pbvh, o, d, t_best)
+        elif flags.use_bvh and flags.accel == "kdtree":
             th = intersect_kdtree(scene.kd, scene.tri_p0, scene.tri_p1,
                                   scene.tri_p2, o, d, t_best)
         elif flags.use_bvh:
@@ -191,7 +194,10 @@ def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max):
     """Any-hit (shadow rays). Returns [N] bool occluded."""
     occluded = jnp.zeros(o.shape[:1], bool)
     if flags.n_tris > 0:
-        if flags.use_bvh and flags.accel == "kdtree":
+        if flags.use_pallas:
+            from pbrt_tpu.accel.pallas_traverse import intersect_bvh_pallas
+            th = intersect_bvh_pallas(scene.pbvh, o, d, t_max, any_hit=True)
+        elif flags.use_bvh and flags.accel == "kdtree":
             th = intersect_kdtree(scene.kd, scene.tri_p0, scene.tri_p1,
                                   scene.tri_p2, o, d, t_max, any_hit=True)
         elif flags.use_bvh:

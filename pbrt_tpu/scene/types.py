@@ -58,6 +58,9 @@ class SceneData(NamedTuple):
     # spatial light-selection voxel grid (lights/distrib.py); None unless
     # the integrator's lightsamplestrategy is "spatial"
     light_spatial: object = None
+    # Pallas kernel layout of the BVH (accel/pallas_traverse.py); built on
+    # TPU backends when the tables fit the VMEM budget, else None
+    pbvh: object = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +81,7 @@ class SceneFlags:
     any_grid_media: bool = False
     has_subsurface: bool = False
     has_fourier: bool = False
+    use_pallas: bool = False    # traversal via the Pallas TPU kernel
     # light-selection strategy (core/src/light_distrib/mod.rs): "power"
     # (default), "uniform", or "spatial"
     light_strategy: str = "power"

@@ -23,6 +23,7 @@ class Options:
     wavefront_size: int = 1 << 17   # rays in flight per device per pass
     spp_batch: int = 0              # 0 = auto: chosen so wavefront fits
     mesh_shape: Tuple[int, ...] = ()  # () = single device
+    devices: int = 0                # shard rays over N devices (0/1 = single)
     mesh_axis_names: Tuple[str, ...] = ("rays",)
     donate_film: bool = True
     precision: str = "f32"          # radiance accumulation precision
