@@ -39,15 +39,21 @@ def main():
         L, p_film, w = li_path(cs, px, py, sidx, max_depth=max_depth)
         return jnp.sum(L)
 
-    total = int(os.environ.get("BENCH_RAYS", 1 << 17))
-    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 14))
+    total = int(os.environ.get("BENCH_RAYS", 1 << 19))
+    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 16))
     chunk = min(chunk, total)
-    # coherent wavefront: consecutive pixels in raster order with spp
-    # repeats — the order real renders dispatch (render.py), and the order
-    # that keeps lockstep BVH lanes coherent
+    # coherent wavefront: pixels in Morton order with spp repeats — the
+    # order real renders dispatch (render.py _sample_pixels), which keeps
+    # each 128-lane traversal packet on a compact image tile
     lin = np.arange(chunk, dtype=np.int64) % (64 * 64)
-    px = jnp.asarray(lin % 64, jnp.int32)
-    py = jnp.asarray(lin // 64, jnp.int32)
+    xs = (lin % 64).astype(np.int64)
+    ys = (lin // 64).astype(np.int64)
+    key = np.zeros_like(xs)
+    for b in range(6):
+        key |= ((xs >> b) & 1) << (2 * b) | ((ys >> b) & 1) << (2 * b + 1)
+    order = np.argsort(key, kind="stable")
+    px = jnp.asarray(xs[order], jnp.int32)
+    py = jnp.asarray(ys[order], jnp.int32)
 
     jfn = jax.jit(fn)
     jfn(px, py, jnp.zeros(chunk, jnp.int32)).block_until_ready()  # compile

@@ -56,6 +56,8 @@ class PallasBVH(NamedTuple):
     meta: jnp.ndarray    # [ceil(M/32), 128] i32 — 32 nodes/row x 4 lanes
     tris: jnp.ndarray    # [ceil(L/2), 128] f32 — 2 leaf blocks/row
     order: jnp.ndarray   # [L*4] i32 — leaf slot -> original tri id (-1 pad)
+    wlo: jnp.ndarray     # [3] world bounds (ray-sort key normalization)
+    whi: jnp.ndarray     # [3]
 
     @property
     def vmem_bytes(self) -> int:
@@ -103,8 +105,11 @@ def pack_pallas_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2) -> PallasBVH:
     meta[leaf_ids, 1] = cs
     meta[leaf_ids, 2] = np.arange(len(leaf_ids), dtype=np.int32)
     tris = blocks.reshape(Lpad // 2, 128)
+    wlo = np.minimum(packed[0, 0:3], packed[0, 6:9])
+    whi = np.maximum(packed[0, 3:6], packed[0, 9:12])
     return PallasBVH(jnp.asarray(nodes), jnp.asarray(meta.reshape(mrows, 128)),
-                     jnp.asarray(tris), jnp.asarray(new_order))
+                     jnp.asarray(tris), jnp.asarray(new_order),
+                     jnp.asarray(wlo), jnp.asarray(whi))
 
 
 def _pick(ax_, ay_, az_, k):
@@ -114,7 +119,7 @@ def _pick(ax_, ay_, az_, k):
 
 def _kernel(meta_ref, nodes_ref, tris_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-            t_out, tri_out, b1_out, b2_out,
+            t_out, tri_out, b1_out, b2_out, it_out,
             stack_ref, sp_ref, mscr_ref, *, any_hit: bool, rows: int):
     f32 = jnp.float32
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -311,11 +316,48 @@ def _kernel(meta_ref, nodes_ref, tris_ref,
             cont = jnp.logical_or(cont, sp_ref[s] > 0)
         return (it + 1, cont)
 
-    jax.lax.while_loop(lambda c: c[1], body, (0, True))
+    n_it, _ = jax.lax.while_loop(lambda c: c[1], body, (0, True))
+    it_out[0, 0] = n_it
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False):
+def _morton16(q):
+    """Interleave 2 x 8-bit -> 16-bit morton (q: [...,2] int32)."""
+    def expand(v):
+        v = v & 0xFF
+        v = (v | (v << 4)) & 0x0F0F
+        v = (v | (v << 2)) & 0x3333
+        v = (v | (v << 1)) & 0x5555
+        return v
+    return expand(q[..., 0]) | (expand(q[..., 1]) << 1)
+
+
+def _ray_sort_key(pb, o, d):
+    """Coherence key: origin cell morton (high bits) | direction octant.
+
+    Secondary rays scatter in memory order after a bounce; traversal cost
+    is proportional to the per-128-lane-packet union of visited nodes, so
+    grouping rays by spatial cell + direction octant cuts it ~2x
+    (tools/bench_order.py)."""
+    ext = jnp.maximum(pb.whi - pb.wlo, 1e-6)
+    q = jnp.clip(((o - pb.wlo) / ext) * 16.0, 0.0, 15.0).astype(jnp.int32)
+    mxy = _morton16(q[:, 0:3:2])            # x,z (4 bits each -> 8)
+    oct_ = ((d[:, 0] < 0).astype(jnp.int32)
+            + 2 * (d[:, 1] < 0).astype(jnp.int32)
+            + 4 * (d[:, 2] < 0).astype(jnp.int32))
+    return (mxy << 7) | (q[:, 1] << 3) | oct_
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret", "sort",
+                                             "with_iters"))
+def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
+              sort=False, with_iters=False):
+    if sort:
+        perm = jnp.argsort(_ray_sort_key(pb, o, d))
+        tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
+        th = _traverse(pb, o[perm], d[perm], tm[perm], any_hit=any_hit,
+                       interpret=interpret, sort=False)
+        unsort = lambda v: jnp.zeros_like(v).at[perm].set(v)
+        return TriHit(unsort(th.t), unsort(th.tri), unsort(th.b1), unsort(th.b2))
     N = o.shape[0]
     BLK = ROWS * LANES
     npad = (-N) % BLK
@@ -336,8 +378,9 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False):
     out_shapes = [jax.ShapeDtypeStruct((R, LANES), jnp.float32),
                   jax.ShapeDtypeStruct((R, LANES), jnp.int32),
                   jax.ShapeDtypeStruct((R, LANES), jnp.float32),
-                  jax.ShapeDtypeStruct((R, LANES), jnp.float32)]
-    t, tri, b1, b2 = pl.pallas_call(
+                  jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+                  jax.ShapeDtypeStruct((grid, 1), jnp.int32)]  # iters/block
+    t, tri, b1, b2, iters = pl.pallas_call(
         kern,
         grid=(grid,),
         out_shape=out_shapes,
@@ -345,7 +388,7 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False):
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [blk] * 7,
-        out_specs=[blk] * 4,
+        out_specs=[blk] * 4 + [pl.BlockSpec((1, 1), lambda i: (i, 0))],
         scratch_shapes=[pltpu.SMEM((ROWS * STACK,), jnp.int32),
                         pltpu.SMEM((ROWS,), jnp.int32),
                         pltpu.VMEM((ROWS, 128), jnp.int32)],
@@ -355,12 +398,17 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False):
       comp(d_p[:, 0]), comp(d_p[:, 1]), comp(d_p[:, 2]), comp(tm_p))
     slot = tri.reshape(-1)[:N]
     tri_id = jnp.where(slot >= 0, pb.order[jnp.maximum(slot, 0)], -1)
-    return TriHit(t.reshape(-1)[:N], tri_id,
-                  b1.reshape(-1)[:N], b2.reshape(-1)[:N])
+    th = TriHit(t.reshape(-1)[:N], tri_id,
+                b1.reshape(-1)[:N], b2.reshape(-1)[:N])
+    if with_iters:
+        return th, iters
+    return th
 
 
 def intersect_bvh_pallas(pb: PallasBVH, o, d, t_max, any_hit: bool = False,
-                         interpret: bool = False) -> TriHit:
+                         interpret: bool = False, sort: bool = False) -> TriHit:
     """Closest-hit (or any-hit) via the Pallas kernel. Same contract as
-    accel/traverse.py::intersect_bvh."""
-    return _traverse(pb, o, d, t_max, any_hit=any_hit, interpret=interpret)
+    accel/traverse.py::intersect_bvh. sort=True re-orders lanes by a
+    spatial-coherence key before traversal (for post-bounce wavefronts)."""
+    return _traverse(pb, o, d, t_max, any_hit=any_hit, interpret=interpret,
+                     sort=sort)

@@ -22,11 +22,27 @@ from pbrt_tpu.utils.options import OPTIONS
 from pbrt_tpu.io.image_io import write_image
 
 
+def _morton2_np(x, y, bits=16):
+    m = np.zeros_like(x, dtype=np.uint64)
+    for b in range(bits):
+        m |= np.uint64(((x >> b) & 1).astype(np.uint64) << np.uint64(2 * b)) \
+            | np.uint64(((y >> b) & 1).astype(np.uint64) << np.uint64(2 * b + 1))
+    return m
+
+
 def _sample_pixels(cs):
-    """All pixel coords in the film's sample bounds (host)."""
+    """All pixel coords in the film's sample bounds, in Morton order (host).
+
+    Wavefront lanes are dispatched in this order; the Pallas traversal
+    kernel's 128-lane packets then cover compact ~11x11 pixel tiles instead
+    of 2 full raster rows — 3.5x faster traversal (tools/bench_order.py).
+    The film deposit is a scatter-add, so pixel order is free to choose."""
     x0, x1, y0, y1 = cs.film.sample_bounds
     xs, ys = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
-    return xs.ravel().astype(np.int32), ys.ravel().astype(np.int32)
+    xs = xs.ravel().astype(np.int32)
+    ys = ys.ravel().astype(np.int32)
+    order = np.argsort(_morton2_np(xs - x0, ys - y0), kind="stable")
+    return xs[order], ys[order]
 
 
 def _li_fn(cs):

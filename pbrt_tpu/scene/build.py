@@ -126,6 +126,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     quads = []
     prim_material, prim_light, prim_rev = [], [], []
     prim_medium = []
+    prim_alpha = []   # (alpha_tex, shadow_alpha_tex) per prim; -1 = none
     shape_tri_range = {}   # shape index -> (start, count) for area lights
     shape_quad_index = {}
     shape_quad_rev = {}
@@ -137,6 +138,10 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         prim_light.append(rec.area_light)
         prim_medium.append((med_ids.get(rec.medium_inside, -1),
                             med_ids.get(rec.medium_outside, -1)))
+        if rec.mesh is not None:
+            prim_alpha.append((rec.mesh.alpha_tex, rec.mesh.shadow_alpha_tex))
+        else:
+            prim_alpha.append((-1, -1))
         if rec.mesh is not None:
             m = rec.mesh
             rev = rec.reverse_orientation ^ m.transform_swaps_handedness
@@ -198,6 +203,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     if not prim_material:
         prim_material, prim_light, prim_rev = [0], [-1], [False]
         prim_medium = [(-1, -1)]
+        prim_alpha = [(-1, -1)]
 
     # ---- BVH over triangles ----
     lo = tp.min(axis=1)
@@ -417,6 +423,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         jnp.asarray(np.asarray(prim_light, np.int32)),
         jnp.asarray(np.asarray(prim_rev, bool)),
         jnp.asarray(np.asarray(prim_medium, np.int32).reshape(-1, 2)),
+        jnp.asarray(np.asarray(prim_alpha, np.int32).reshape(-1, 2)),
         mats, tex, light_tab, light_distr,
         fourier_tab,
         media_tab,
@@ -437,6 +444,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         has_subsurface=bool(np.asarray(mats.sss[:, 0]).any()),
         has_fourier=bool(fourier_tables),
         use_pallas=use_pallas,
+        has_alpha=bool(np.any(np.asarray(prim_alpha, np.int32) >= 0)),
         light_strategy=_scalar(desc.integrator_params.as_plain_dict().get(
             "lightsamplestrategy", "power")))
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from pbrt_tpu.core import math as vm
 from pbrt_tpu.core.math import normalize, cross, dot
 from pbrt_tpu.core.interaction import SurfaceInteraction, make_frame
-from pbrt_tpu.accel.traverse import intersect_bvh, intersect_bruteforce
+from pbrt_tpu.accel.traverse import intersect_bvh, intersect_bruteforce, TriHit
 from pbrt_tpu.accel.kdtree import intersect_kdtree
 from pbrt_tpu.shapes.triangle import triangle_shading
 from pbrt_tpu.shapes import quadrics as Q
@@ -90,6 +90,68 @@ def _quadric_eval_all(scene: SceneData, qi, o, d, t_max):
     return hit, t, pw, nw, uv, dpduw, dpdvw, perrw
 
 
+ALPHA_ROUNDS = 3   # re-trace rounds past alpha-masked hits per query
+
+
+def _closest_tris(scene, flags, o, d, t_best):
+    if flags.use_pallas:
+        from pbrt_tpu.accel.pallas_traverse import intersect_bvh_pallas
+        return intersect_bvh_pallas(scene.pbvh, o, d, t_best, sort=True)
+    if flags.use_bvh and flags.accel == "kdtree":
+        return intersect_kdtree(scene.kd, scene.tri_p0, scene.tri_p1,
+                                scene.tri_p2, o, d, t_best)
+    if flags.use_bvh:
+        return intersect_bvh(scene.bvh, scene.tri_p0, scene.tri_p1,
+                             scene.tri_p2, o, d, t_best)
+    return intersect_bruteforce(scene.tri_p0, scene.tri_p1, scene.tri_p2,
+                                o, d, t_best)
+
+
+def _alpha_of_hit(scene, tri_id, b1, b2, o, d, t, shadow=False):
+    """Evaluate a hit triangle's alpha-mask texture ([N]; 1.0 = opaque)."""
+    from pbrt_tpu.textures import eval_texture
+    tid = jnp.maximum(tri_id, 0)
+    aid = scene.prim_alpha[scene.tri_prim[tid], 1 if shadow else 0]
+    b0 = 1.0 - b1 - b2
+    tuv = scene.tri_uv[tid]
+    uv = b0[:, None] * tuv[:, 0] + b1[:, None] * tuv[:, 1] + b2[:, None] * tuv[:, 2]
+    p = o + t[:, None] * d
+    a = eval_texture(scene.tex, aid, uv, p)[:, 0]
+    return jnp.where((tri_id >= 0) & (aid >= 0), a, 1.0)
+
+
+def _closest_tris_alpha(scene, flags, o, d, t_best, shadow=False):
+    """Closest hit skipping alpha-masked surface points.
+
+    Reference: shapes/src/triangle.rs intersect's alpha_mask evaluate-and-
+    reject. Wavefront form: after a closest hit, lanes whose hit point has
+    alpha == 0 re-trace from just past the hit (ALPHA_ROUNDS rounds)."""
+    th = _closest_tris(scene, flags, o, d, t_best)
+    if not flags.has_alpha:
+        return th
+    t_off = jnp.zeros_like(th.t)
+    oo = o
+    for _ in range(ALPHA_ROUNDS):
+        a = _alpha_of_hit(scene, th.tri, th.b1, th.b2, oo, d, th.t, shadow)
+        masked = (th.tri >= 0) & (a <= 0.0)
+        eps = 1e-4 * (1.0 + jnp.abs(th.t))
+        step = th.t + eps
+        oo2 = jnp.where(masked[:, None], oo + step[:, None] * d, oo)
+        t_off2 = jnp.where(masked, t_off + step, t_off)
+        rem = jnp.where(masked, jnp.asarray(t_best, jnp.float32) - t_off2, 1.0)
+        th2 = _closest_tris(scene, flags, oo2, d, jnp.maximum(rem, 0.0))
+        th = TriHit(jnp.where(masked, th2.t, th.t),
+                    jnp.where(masked, th2.tri, th.tri),
+                    jnp.where(masked, th2.b1, th.b1),
+                    jnp.where(masked, th2.b2, th.b2))
+        oo, t_off = oo2, t_off2
+    # final masked survivors count as misses; map t back to the original ray
+    a = _alpha_of_hit(scene, th.tri, th.b1, th.b2, oo, d, th.t, shadow)
+    still = (th.tri >= 0) & (a <= 0.0)
+    return TriHit(jnp.where(still, jnp.asarray(t_best, jnp.float32), th.t + t_off),
+                  jnp.where(still, -1, th.tri), th.b1, th.b2)
+
+
 def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max) -> SurfaceInteraction:
     """Closest hit of the whole wavefront -> full SurfaceInteraction."""
     N = o.shape[0]
@@ -97,18 +159,7 @@ def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max) -> SurfaceIntera
 
     # triangles
     if flags.n_tris > 0:
-        if flags.use_pallas:
-            from pbrt_tpu.accel.pallas_traverse import intersect_bvh_pallas
-            th = intersect_bvh_pallas(scene.pbvh, o, d, t_best)
-        elif flags.use_bvh and flags.accel == "kdtree":
-            th = intersect_kdtree(scene.kd, scene.tri_p0, scene.tri_p1,
-                                  scene.tri_p2, o, d, t_best)
-        elif flags.use_bvh:
-            th = intersect_bvh(scene.bvh, scene.tri_p0, scene.tri_p1,
-                               scene.tri_p2, o, d, t_best)
-        else:
-            th = intersect_bruteforce(scene.tri_p0, scene.tri_p1, scene.tri_p2,
-                                      o, d, t_best)
+        th = _closest_tris_alpha(scene, flags, o, d, t_best)
         tri_t, tri_id, b1, b2 = th.t, th.tri, th.b1, th.b2
     else:
         tri_t = t_best
@@ -194,9 +245,17 @@ def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max):
     """Any-hit (shadow rays). Returns [N] bool occluded."""
     occluded = jnp.zeros(o.shape[:1], bool)
     if flags.n_tris > 0:
-        if flags.use_pallas:
+        if flags.has_alpha:
+            # any-hit can land on a masked point; fall back to the
+            # alpha-aware closest-hit walk (shadow_alpha_mask semantics,
+            # triangle.rs intersect_p)
+            th = _closest_tris_alpha(scene, flags, o, d,
+                                     jnp.asarray(t_max, jnp.float32),
+                                     shadow=True)
+        elif flags.use_pallas:
             from pbrt_tpu.accel.pallas_traverse import intersect_bvh_pallas
-            th = intersect_bvh_pallas(scene.pbvh, o, d, t_max, any_hit=True)
+            th = intersect_bvh_pallas(scene.pbvh, o, d, t_max, any_hit=True,
+                                      sort=True)
         elif flags.use_bvh and flags.accel == "kdtree":
             th = intersect_kdtree(scene.kd, scene.tri_p0, scene.tri_p1,
                                   scene.tri_p2, o, d, t_max, any_hit=True)

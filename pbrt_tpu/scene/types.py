@@ -44,6 +44,7 @@ class SceneData(NamedTuple):
     prim_light: jnp.ndarray      # [P] area light id or -1
     prim_rev: jnp.ndarray        # [P] reverse_orientation xor swaps_handedness
     prim_medium: jnp.ndarray     # [P,2] (inside, outside) medium ids, -1 vacuum
+    prim_alpha: jnp.ndarray      # [P,2] (alpha, shadow_alpha) float-tex ids, -1 none
     # tables
     mats: MaterialTable
     tex: TextureTable
@@ -82,6 +83,7 @@ class SceneFlags:
     has_subsurface: bool = False
     has_fourier: bool = False
     use_pallas: bool = False    # traversal via the Pallas TPU kernel
+    has_alpha: bool = False     # any triangle mesh carries an alpha mask
     # light-selection strategy (core/src/light_distrib/mod.rs): "power"
     # (default), "uniform", or "spatial"
     light_strategy: str = "power"

@@ -14,10 +14,38 @@ from pbrt_tpu.shapes.ply import read_ply
 QUADRIC_KINDS = {"sphere", "cylinder", "disk", "cone", "paraboloid", "hyperboloid"}
 
 
+def _resolve_alpha(ps: ParamSet, api, pname: str) -> int:
+    """'texture alpha' / 'float alpha' -> float-texture id (-1 = no mask).
+
+    Reference: shapes/src/triangle.rs:27-55 (alpha_mask/shadow_alpha_mask
+    from_props). A float constant < 1 is wrapped in a constant texture."""
+    if ps.is_texture(pname):
+        name = ps.texture_name(pname)
+        return api.gs.float_textures.get(name,
+                                         api.gs.spectrum_textures.get(name, -1))
+    vals = ps.values.get(pname)
+    if vals and float(vals[0]) < 1.0:
+        from pbrt_tpu.scene.api import TextureDecl
+        cps = ParamSet()
+        cps.declare("float", "value", [float(vals[0])])
+        tid = len(api.scene.textures)
+        api.scene.textures.append(TextureDecl("constant", "float", cps,
+                                              name=f"__alpha{tid}"))
+        return tid
+    return -1
+
+
+def _apply_alpha(mesh, ps, api):
+    mesh.alpha_tex = _resolve_alpha(ps, api, "alpha")
+    sa = _resolve_alpha(ps, api, "shadowalpha")
+    mesh.shadow_alpha_tex = sa if sa >= 0 else mesh.alpha_tex
+    return mesh
+
+
 def make_shapes(kind: str, ps: ParamSet, o2w, api):
     from pbrt_tpu.scene.api import ShapeRecord
     if kind == "trianglemesh":
-        mesh = mesh_from_params(ps.as_plain_dict(), o2w)
+        mesh = _apply_alpha(mesh_from_params(ps.as_plain_dict(), o2w), ps, api)
         return [ShapeRecord("trianglemesh", mesh=mesh)]
     if kind == "plymesh":
         fname = ps.find_one_string("filename", "")
@@ -32,7 +60,7 @@ def make_shapes(kind: str, ps: ParamSet, o2w, api):
                                 None if n is None else np.asarray(o2w.normal(n), np.float32),
                                 None, uv,
                                 transform_swaps_handedness=o2w.swaps_handedness())
-        return [ShapeRecord("trianglemesh", mesh=mesh)]
+        return [ShapeRecord("trianglemesh", mesh=_apply_alpha(mesh, ps, api))]
     if kind == "loopsubdiv":
         idx = ps.find_ints("indices").reshape(-1, 3)
         p = ps.find_point3s("P")

@@ -30,6 +30,7 @@ class TriangleMeshData:
     s: Optional[np.ndarray] = None  # [V, 3]
     uv: Optional[np.ndarray] = None  # [V, 2]
     alpha_tex: int = -1             # texture id for alpha mask
+    shadow_alpha_tex: int = -1      # texture id for shadow-ray alpha mask
     reverse_orientation: bool = False
     transform_swaps_handedness: bool = False
 

@@ -1,0 +1,85 @@
+"""Golden-image comparison against the reference's committed renders
+(SURVEY sect. 4 point c; /root/reference/renders/*.png).
+
+Method: render a center crop of self-contained fixture scenes
+(/root/reference/scenes/...) at reduced spp, convert to sRGB, box-downsample
+both our crop and the same crop of the reference PNG, and compare block
+means. Sampler sequences differ from the reference, so this compares
+CONVERGED images (block averaging kills residual Monte-Carlo noise), not
+per-pixel samples.
+"""
+import os
+import re
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pbrt_tpu.scene import load_scene_string
+from pbrt_tpu.render import render
+from pbrt_tpu.utils.options import Options
+
+REF = "/root/reference"
+CROP = (0.375, 0.625, 0.375, 0.625)
+SPP = 4
+BLOCK = 10   # downsample factor for block means
+
+
+def _prep_scene(path, spp=SPP):
+    text = open(path).read()
+    text = re.sub(r'"integer pixelsamples"\s*\[?\s*\d+\s*\]?',
+                  f'"integer pixelsamples" [{spp}]', text)
+    return text
+
+
+def _render_crop(scene_path):
+    opts = Options()
+    opts.crop_window = CROP
+    opts.quiet = True
+    cs = load_scene_string(_prep_scene(scene_path), options=opts,
+                           cwd=os.path.dirname(scene_path))
+    return render(cs, opts)
+
+
+def _srgb(x):
+    x = np.clip(x, 0.0, 1.0)
+    return np.where(x <= 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)
+
+
+def _blocks(img, b=BLOCK):
+    h, w = img.shape[:2]
+    h2, w2 = h // b * b, w // b * b
+    return img[:h2, :w2].reshape(h2 // b, b, w2 // b, b, -1).mean((1, 3))
+
+
+def _compare(scene_rel, render_rel, tol=0.04):
+    scene_path = os.path.join(REF, "scenes", scene_rel)
+    ref_png = os.path.join(REF, "renders", render_rel)
+    img = _render_crop(scene_path)                     # linear float, crop-sized
+    ref = np.asarray(Image.open(ref_png).convert("RGB"), np.float32) / 255.0
+    yres, xres = ref.shape[:2]
+    x0 = int(np.ceil(CROP[0] * xres))
+    y0 = int(np.ceil(CROP[2] * yres))
+    h, w = img.shape[:2]
+    ref_crop = ref[y0:y0 + h, x0:x0 + w]
+    assert ref_crop.shape == img.shape, (ref_crop.shape, img.shape)
+    ours = _blocks(_srgb(img))
+    theirs = _blocks(ref_crop)
+    mad = np.abs(ours - theirs).mean()
+    mx = np.abs(ours - theirs).max()
+    assert mad < tol, f"{scene_rel}: block-mean MAD {mad:.4f} >= {tol}"
+    return mad, mx
+
+
+@pytest.mark.parametrize("scene,png,tol", [
+    ("lights/point.pbrt", "lights/point.png", 0.04),
+    ("lights/distant.pbrt", "lights/distant.png", 0.04),
+    ("lights/infinite-no-map.pbrt", "lights/infinite-no-map.png", 0.04),
+    ("lights/diffuse.pbrt", "lights/diffuse.png", 0.05),
+    ("lights/spot.pbrt", "lights/spot.png", 0.04),
+    ("textures/2d-checkerboard.pbrt", "textures/2d-checkerboard.png", 0.05),
+    ("shapes/all-shapes.pbrt", "shapes/all-shapes.png", 0.06),
+])
+def test_golden(scene, png, tol):
+    mad, mx = _compare(scene, png, tol)
+    print(f"{scene}: MAD={mad:.4f} max-block={mx:.4f}")
