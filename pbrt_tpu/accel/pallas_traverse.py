@@ -317,7 +317,7 @@ def _kernel(meta_ref, nodes_ref, tris_ref,
         return (it + 1, cont)
 
     n_it, _ = jax.lax.while_loop(lambda c: c[1], body, (0, True))
-    it_out[0, 0] = n_it
+    it_out[pl.program_id(0)] = n_it
 
 
 def _morton16(q):
@@ -379,7 +379,7 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
                   jax.ShapeDtypeStruct((R, LANES), jnp.int32),
                   jax.ShapeDtypeStruct((R, LANES), jnp.float32),
                   jax.ShapeDtypeStruct((R, LANES), jnp.float32),
-                  jax.ShapeDtypeStruct((grid, 1), jnp.int32)]  # iters/block
+                  jax.ShapeDtypeStruct((grid,), jnp.int32)]  # iters/block
     t, tri, b1, b2, iters = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -388,7 +388,10 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [blk] * 7,
-        out_specs=[blk] * 4 + [pl.BlockSpec((1, 1), lambda i: (i, 0))],
+        out_specs=[blk] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],  # iters: whole-array SMEM,
+        # written at program_id — a (1,1) blocked output fails Mosaic's
+        # (8,128)-divisibility check on real TPU
         scratch_shapes=[pltpu.SMEM((ROWS * STACK,), jnp.int32),
                         pltpu.SMEM((ROWS,), jnp.int32),
                         pltpu.VMEM((ROWS, 128), jnp.int32)],
