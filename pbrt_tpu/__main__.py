@@ -30,6 +30,12 @@ def main(argv=None):
     ap.add_argument("--stats", action="store_true", help="print statistics")
     ap.add_argument("--preview", type=int, default=0, metavar="N",
                     help="write the in-progress image every N sample batches")
+    ap.add_argument("--checkpoint", default="", metavar="PATH",
+                    help="checkpoint file (.npz) for save/resume")
+    ap.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                    help="save a checkpoint every N sample batches")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint if it exists")
     ap.add_argument("--platform", default="",
                     help="force a jax platform (cpu/tpu) even when the "
                          "environment pre-pins one")
@@ -53,7 +59,9 @@ def main(argv=None):
                        crop_window=tuple(args.cropwindow) if args.cropwindow else None,
                        sppm_radius=args.sppm_radius, wavefront_size=args.wavefront,
                        seed=args.seed, preview_every=args.preview,
-                       devices=args.devices)
+                       devices=args.devices, checkpoint_path=args.checkpoint,
+                       checkpoint_every=args.checkpoint_every,
+                       resume=args.resume)
 
     from pbrt_tpu.render import render_file
     from pbrt_tpu.utils.stats import STATS

@@ -28,7 +28,7 @@ from pbrt_tpu.integrators.common import (bounce_base, camera_rays,
 
 
 def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.0,
-            sampler_fn=None, p_film_override=None):
+            sampler_fn=None, p_film_override=None, with_stats: bool = False):
     """Radiance estimate for one sample of each pixel. Returns (L [N,3],
     p_film [N,2], ray_weight [N]).
 
@@ -73,6 +73,12 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
     prev_p = o
     eta_scale = jnp.ones((n,), jnp.float32)
     t_max = jnp.full((n,), vm.INF)
+
+    # device-side counters (stats registry analog, utils/stats.py): summed
+    # in-graph, psum'd by shard_map under a mesh, merged on the host
+    from pbrt_tpu.utils.stats import device_counters_zero
+    cnt = device_counters_zero()
+    cnt["camera_rays"] = cnt["camera_rays"] + jnp.float32(n)
 
     # BSSRDF carry (path.rs:208-262 BSSRDF hook; pbrt_tpu/materials/bssrdf.py):
     # when a subsurface boundary transmits, the NEXT bounce's ray is the
@@ -132,6 +138,7 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
             L = L + jnp.where(hit_l[:, None], beta * le * w[:, None], 0.0)
 
         active = active & si.valid
+        cnt["valid_hits"] = cnt["valid_hits"] + jnp.sum(active.astype(jnp.float32))
         if bounce == max_depth:
             break
 
@@ -155,6 +162,7 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         # ---- NEE ----
         u_sel = sample_dim_(base + 1)
         u_light = sample_2d_(base + 2)
+        cnt["shadow_rays"] = cnt["shadow_rays"] + jnp.sum(active.astype(jnp.float32))
         ld = sample_one_light(cs, si, lobes, active, u_sel, u_light)
         L = L + jnp.where(active[:, None], beta * ld, 0.0)
 
@@ -167,6 +175,7 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         wi_world = si.local_to_world(bs.wi)
         cos_w = vm.absdot(wi_world, si.ns)
         ok = active & (bs.pdf > 0.0) & ~B.black(bs.f)
+        cnt["bounce_rays"] = cnt["bounce_rays"] + jnp.sum(ok.astype(jnp.float32))
         beta = jnp.where(ok[:, None],
                          beta * bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-12))[:, None],
                          beta)
@@ -220,6 +229,10 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
             survive = ~do_rr | (u_rr >= q)
             beta = jnp.where((do_rr & survive)[:, None],
                              beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
+            cnt["paths_terminated_rr"] = cnt["paths_terminated_rr"] + jnp.sum(
+                (active & ~survive).astype(jnp.float32))
             active = active & survive
 
+    if with_stats:
+        return L, p_film, ray_w, cnt
     return L, p_film, ray_w

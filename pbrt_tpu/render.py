@@ -104,22 +104,47 @@ def render_sampler_integrator(cs: CompiledScene, options=None, verbose=False,
     k = max(1, min(spp, options.wavefront_size // max(n_pix, 1)))
     table = cs.film.filter_table()
 
+    # device-counter stats ride the step iff the integrator supports them
+    import inspect
+    base_fn = li.func if isinstance(li, functools.partial) else li
+    has_stats = (options.stats_device
+                 and "with_stats" in inspect.signature(base_fn).parameters)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(film, sample_lo):
         pxs = jnp.tile(jnp.asarray(px), (k,))
         pys = jnp.tile(jnp.asarray(py), (k,))
         sidx = (sample_lo + jnp.repeat(jnp.arange(k), n_pix)).astype(jnp.int32)
-        L, p_film, ray_w = li(cs, pxs, pys, sidx)
-        return add_samples(cs.film, film, p_film, L, ray_w, table=table)
+        if has_stats:
+            L, p_film, ray_w, cnt = li(cs, pxs, pys, sidx, with_stats=True)
+        else:
+            L, p_film, ray_w = li(cs, pxs, pys, sidx)
+            cnt = None
+        return add_samples(cs.film, film, p_film, L, ray_w, table=table), cnt
 
+    from pbrt_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
     film = FilmState.zeros(cs.film)
     t0 = time.time()
     s = 0
     batch = 0
+    ck = options.checkpoint_path
+    if ck and options.resume:
+        loaded = load_checkpoint(ck)
+        if loaded is not None:
+            film, s, _ = loaded
+            if verbose:
+                print(f"  resumed from {ck} at spp {s}/{spp}")
+    cnt_total = None
     while s < spp:
-        film = step(film, jnp.int32(s))
+        film, cnt = step(film, jnp.int32(s))
+        if cnt is not None:
+            cnt_total = cnt if cnt_total is None else \
+                jax.tree.map(jnp.add, cnt_total, cnt)
         s += k
         batch += 1
+        if ck and options.checkpoint_every \
+                and batch % options.checkpoint_every == 0 and s < spp:
+            save_checkpoint(ck, film, s)
         if verbose:
             film.rgb_sum.block_until_ready()
             done = min(s, spp)
@@ -134,8 +159,10 @@ def render_sampler_integrator(cs: CompiledScene, options=None, verbose=False,
     img = develop(cs.film, film)
 
     # render statistics (reference stats registry analog, utils/stats.py)
-    from pbrt_tpu.utils.stats import STATS
+    from pbrt_tpu.utils.stats import STATS, merge_device_counters
     el = time.time() - t0
+    if cnt_total is not None:
+        merge_device_counters(STATS, cnt_total)
     STATS.report_counter("Integrator/Camera rays traced", n_pix * spp)
     STATS.report_counter("Integrator/Sample batches", batch)
     STATS.report_counter("Integrator/Wavefront size", n_pix * k)

@@ -33,6 +33,12 @@ class Options:
     # GUI tile preview (core/src/app/gui.rs)
     preview_every: int = 0
     preview_path: str = ""
+    # checkpoint/resume (SURVEY sect. 5.4): film pytree + sample cursor is
+    # the whole renderer state, so checkpoints are exact
+    checkpoint_path: str = ""
+    checkpoint_every: int = 0       # save every N sample batches (0 = off)
+    resume: bool = False            # resume from checkpoint_path if present
+    stats_device: bool = True       # thread device counters through the step
 
     def copy(self) -> "Options":
         return dataclasses.replace(self)
