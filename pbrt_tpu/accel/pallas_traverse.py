@@ -58,10 +58,17 @@ class PallasBVH(NamedTuple):
     order: jnp.ndarray   # [L*4] i32 — leaf slot -> original tri id (-1 pad)
     wlo: jnp.ndarray     # [3] world bounds (ray-sort key normalization)
     whi: jnp.ndarray     # [3]
+    metas: jnp.ndarray   # [M] i32 — packed ax|cnt<<2|payload<<5 (SMEM path)
 
     @property
     def vmem_bytes(self) -> int:
         return (self.nodes.size + self.meta.size + self.tris.size) * 4
+
+
+# node metadata lives in SMEM (pure scalar pop: one packed-word read +
+# shifts) when the node count fits; beyond that fall back to the VMEM
+# roll + scratch extraction. 32k nodes = 128 KB of SMEM.
+SMEM_META_MAX = 1 << 15
 
 
 def pack_pallas_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2) -> PallasBVH:
@@ -107,9 +114,13 @@ def pack_pallas_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2) -> PallasBVH:
     tris = blocks.reshape(Lpad // 2, 128)
     wlo = np.minimum(packed[0, 0:3], packed[0, 6:9])
     whi = np.maximum(packed[0, 3:6], packed[0, 9:12])
+    # packed scalar word per node: ax(2) | cnt(3) | payload(27) where the
+    # payload is right-child for internal nodes, leaf block id for leaves
+    payload = np.where(meta[:M, 1] > 0, meta[:M, 2], meta[:M, 0])
+    metas = (meta[:M, 3] | (meta[:M, 1] << 2) | (payload << 5)).astype(np.int32)
     return PallasBVH(jnp.asarray(nodes), jnp.asarray(meta.reshape(mrows, 128)),
                      jnp.asarray(tris), jnp.asarray(new_order),
-                     jnp.asarray(wlo), jnp.asarray(whi))
+                     jnp.asarray(wlo), jnp.asarray(whi), jnp.asarray(metas))
 
 
 def _pick(ax_, ay_, az_, k):
@@ -120,7 +131,8 @@ def _pick(ax_, ay_, az_, k):
 def _kernel(meta_ref, nodes_ref, tris_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
             t_out, tri_out, b1_out, b2_out, it_out,
-            stack_ref, sp_ref, mscr_ref, *, any_hit: bool, rows: int):
+            stack_ref, sp_ref, mscr_ref, *, any_hit: bool, rows: int,
+            smem_meta: bool = False):
     f32 = jnp.float32
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -143,10 +155,18 @@ def _kernel(meta_ref, nodes_ref, tris_ref,
     sx = -dpx * sz
     sy = -dpy * sz
 
-    # i32 0/1 (not bool): scalar-pred selects of i1 vregs don't lower
+    # per-row near/far vote is loop-invariant: majority direction sign per
+    # axis, staged once into VMEM scratch and read back as scalars — the
+    # old in-loop per-row full-width sums cost ~24 cross-lane reductions
+    # per iteration
     negi_x = jnp.where(dx < 0.0, 1, 0)
     negi_y = jnp.where(dy < 0.0, 1, 0)
     negi_z = jnp.where(dz < 0.0, 1, 0)
+    mscr_ref[:, 0:1] = jnp.sum(negi_x, axis=1, keepdims=True)
+    mscr_ref[:, 1:2] = jnp.sum(negi_y, axis=1, keepdims=True)
+    mscr_ref[:, 2:3] = jnp.sum(negi_z, axis=1, keepdims=True)
+    swap_axis = [[mscr_ref[s, a] * 2 > LANES for a in range(3)]
+                 for s in range(rows)]
 
     # outputs double as loop state
     t_out[:] = tm
@@ -210,31 +230,53 @@ def _kernel(meta_ref, nodes_ref, tris_ref,
         recs = []
         tbs = []
         scal = []  # (act, left, rch, cnt, blk, ax)
-        for s in range(rows):
-            sp_s = sp_ref[s]
-            act = sp_s > 0
-            spm = jnp.maximum(sp_s - 1, 0)
-            idx = stack_ref[s * STACK + spm]
-            idx = jnp.where(act, idx, 0)
-            sp_ref[s] = spm
-            # int meta: roll the 4-lane group to the front, stage in VMEM
-            # scratch, read back as scalars (static lane indices)
-            mrow = meta_ref[pl.ds(idx >> 5, 1), :]
-            mscr_ref[s:s + 1, :] = pltpu.roll(mrow, -(idx & 31) * 4, 1)
-            # f32 bounds: roll the 16-lane group to the front
-            nrow = nodes_ref[pl.ds(idx >> 3, 1), :]
-            rec = pltpu.roll(nrow, -(idx & 7) * 16, 1)[:, :16]
-            recs.append(rec)
-            scal.append([act, idx + 1])
-        for s in range(rows):
-            rch = mscr_ref[s, 0]
-            cnt = jnp.where(scal[s][0], mscr_ref[s, 1], 0)
-            blk = mscr_ref[s, 2]
-            ax = mscr_ref[s, 3]
-            scal[s].extend([rch, cnt, blk, ax])
-            trow = tris_ref[pl.ds(blk >> 1, 1), :]
-            tb = jnp.where((blk & 1) == 1, trow[:, 64:], trow[:, :64])
-            tbs.append(tb)
+        if smem_meta:
+            # meta_ref is the packed [M] SMEM word table: the whole pop is
+            # scalar ALU — no VMEM roll/scratch roundtrip per row
+            for s in range(rows):
+                sp_s = sp_ref[s]
+                act = sp_s > 0
+                spm = jnp.maximum(sp_s - 1, 0)
+                idx = stack_ref[s * STACK + spm]
+                idx = jnp.where(act, idx, 0)
+                sp_ref[s] = spm
+                w = meta_ref[idx]
+                ax = w & 3
+                cnt0 = (w >> 2) & 7
+                payload = (w >> 5) & 0x7FFFFFF
+                cnt = jnp.where(act, cnt0, 0)
+                blk = jnp.where(cnt0 > 0, payload, 0)
+                nrow = nodes_ref[pl.ds(idx >> 3, 1), :]
+                recs.append(pltpu.roll(nrow, -(idx & 7) * 16, 1)[:, :16])
+                scal.append([act, idx + 1, payload, cnt, blk, ax])
+                trow = tris_ref[pl.ds(blk >> 1, 1), :]
+                tbs.append(jnp.where((blk & 1) == 1, trow[:, 64:], trow[:, :64]))
+        else:
+            for s in range(rows):
+                sp_s = sp_ref[s]
+                act = sp_s > 0
+                spm = jnp.maximum(sp_s - 1, 0)
+                idx = stack_ref[s * STACK + spm]
+                idx = jnp.where(act, idx, 0)
+                sp_ref[s] = spm
+                # int meta: roll the 4-lane group to the front, stage in VMEM
+                # scratch, read back as scalars (static lane indices)
+                mrow = meta_ref[pl.ds(idx >> 5, 1), :]
+                mscr_ref[s:s + 1, :] = pltpu.roll(mrow, -(idx & 31) * 4, 1)
+                # f32 bounds: roll the 16-lane group to the front
+                nrow = nodes_ref[pl.ds(idx >> 3, 1), :]
+                rec = pltpu.roll(nrow, -(idx & 7) * 16, 1)[:, :16]
+                recs.append(rec)
+                scal.append([act, idx + 1])
+            for s in range(rows):
+                rch = mscr_ref[s, 0]
+                cnt = jnp.where(scal[s][0], mscr_ref[s, 1], 0)
+                blk = mscr_ref[s, 2]
+                ax = mscr_ref[s, 3]
+                scal[s].extend([rch, cnt, blk, ax])
+                trow = tris_ref[pl.ds(blk >> 1, 1), :]
+                tb = jnp.where((blk & 1) == 1, trow[:, 64:], trow[:, :64])
+                tbs.append(tb)
 
         # per-row scalar -> [rows,1] i32 columns (Mosaic cannot concat or
         # broadcast i1 vregs, so masks stay i32 until full [rows,128] width)
@@ -286,9 +328,8 @@ def _kernel(meta_ref, nodes_ref, tris_ref,
             act, left, rch, cnt, blk, ax = scal[s]
             hl = jnp.sum(jnp.where(hit_l[s:s + 1, :], 1, 0)) > 0
             hr = jnp.sum(jnp.where(hit_r[s:s + 1, :], 1, 0)) > 0
-            neg_row = jnp.where(ax == 0, negi_x[s:s + 1, :],
-                                jnp.where(ax == 1, negi_y[s:s + 1, :], negi_z[s:s + 1, :]))
-            swap = jnp.sum(neg_row) * 2 > LANES
+            swap = jnp.where(ax == 0, swap_axis[s][0],
+                             jnp.where(ax == 1, swap_axis[s][1], swap_axis[s][2]))
             near = jnp.where(swap, rch, left)
             far = jnp.where(swap, left, rch)
             h_near = jnp.where(swap, hr, hl)
@@ -374,7 +415,9 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
 
     grid = Np // BLK
     blk = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0))
-    kern = functools.partial(_kernel, any_hit=any_hit, rows=ROWS)
+    smem_meta = pb.metas.shape[0] <= SMEM_META_MAX
+    kern = functools.partial(_kernel, any_hit=any_hit, rows=ROWS,
+                             smem_meta=smem_meta)
     out_shapes = [jax.ShapeDtypeStruct((R, LANES), jnp.float32),
                   jax.ShapeDtypeStruct((R, LANES), jnp.int32),
                   jax.ShapeDtypeStruct((R, LANES), jnp.float32),
@@ -384,7 +427,8 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
         kern,
         grid=(grid,),
         out_shape=out_shapes,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM if smem_meta
+                               else pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [blk] * 7,
@@ -396,7 +440,7 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
                         pltpu.SMEM((ROWS,), jnp.int32),
                         pltpu.VMEM((ROWS, 128), jnp.int32)],
         interpret=interpret,
-    )(pb.meta, pb.nodes, pb.tris,
+    )(pb.metas if smem_meta else pb.meta, pb.nodes, pb.tris,
       comp(o_p[:, 0]), comp(o_p[:, 1]), comp(o_p[:, 2]),
       comp(d_p[:, 0]), comp(d_p[:, 1]), comp(d_p[:, 2]), comp(tm_p))
     slot = tri.reshape(-1)[:N]
