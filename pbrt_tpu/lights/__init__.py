@@ -63,6 +63,10 @@ class LightTable(NamedTuple):
     ltri_p0: jnp.ndarray   # [C,3]
     ltri_p1: jnp.ndarray   # [C,3]
     ltri_p2: jnp.ndarray   # [C,3]
+    # projection/goniometric image maps (lights/src/projection.rs:296,
+    # goniometric.rs): per-light 64x64 RGB atlas, id in params[8]
+    # ([1,1,1,3] placeholder when the scene has none)
+    limg: jnp.ndarray      # [K,64,64,3]
 
     @property
     def n_lights(self):
@@ -106,7 +110,34 @@ def sample_li(lights: LightTable, scene, light_idx, ref_p, u2,
     cos_w = dot(-wi_point, sdir)
     fall = _spot_falloff(cos_w, pr[:, 6], pr[:, 7])
     li_point = jnp.where((kind == L_SPOT)[:, None], li_point * fall[:, None], li_point)
-    # goniometric/projection: modulate by image lookup later (image id pr[:,8])
+    # goniometric/projection image modulation (projection.rs projection(),
+    # goniometric.rs scale()): direction light->point in light space, then
+    # a perspective (projection) or equirect (gonio) lookup into the atlas
+    if lights.limg.shape[1] > 1:
+        imgid = pr[:, 8].astype(jnp.int32)
+        w2l = lights.w2l[li_idx]
+        dl = normalize(jnp.einsum("nij,nj->ni", w2l[:, :3, :3], -wi_point))
+        dxl, dyl, dzl = dl[:, 0], dl[:, 1], dl[:, 2]
+        tanh = jnp.maximum(pr[:, 7], 1e-6)
+        zs = jnp.where(jnp.abs(dzl) > 1e-6, dzl, 1e-6)
+        s = dxl / (zs * tanh) * 0.5 + 0.5
+        t = dyl / (zs * tanh) * 0.5 + 0.5
+        inside = (dzl > 0) & (s >= 0) & (s <= 1) & (t >= 0) & (t <= 1)
+        theta = jnp.arccos(jnp.clip(dzl, -1.0, 1.0))
+        phi = jnp.arctan2(dyl, dxl)
+        phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
+        is_proj = kind == L_PROJECTION
+        u_ = jnp.where(is_proj, s, phi / (2.0 * jnp.pi))
+        v_ = jnp.where(is_proj, t, theta / jnp.pi)
+        K, Hh, Ww = lights.limg.shape[:3]
+        ix = jnp.clip((u_ * Ww).astype(jnp.int32), 0, Ww - 1)
+        iy = jnp.clip((v_ * Hh).astype(jnp.int32), 0, Hh - 1)
+        mval = lights.limg[jnp.clip(imgid, 0, K - 1), iy, ix]
+        has = imgid >= 0
+        mod = jnp.where((is_proj & has)[:, None],
+                        jnp.where(inside[:, None], mval, 0.0),
+                        jnp.where(((kind == L_GONIO) & has)[:, None], mval, 1.0))
+        li_point = li_point * mod
 
     # ---- distant ----
     w_light = pr[:, 3:6]

@@ -7,6 +7,8 @@ power distribution, and assemble camera/film/sampler specs.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -266,6 +268,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
 
     # ---- lights ----
     lights_rows = []
+    light_images = []   # projection/gonio 64x64 map atlas (params[8] ids)
     tri_cdf_all, tri_area_all, ltri_all = [], [], []
     env_image = np.zeros((1, 1, 3), np.float32)
     env_built = None
@@ -297,8 +300,25 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
             t = Transform(lr.l2w)
             params[0:3] = np.asarray(t.point([0, 0, 0]))
             params[3:6] = np.asarray(t.vector([0, 0, 1.0]))
-            params[6] = np.cos(np.radians(ps.find_one_float("fov", 45.0)))
-            params[7] = 1.0
+            fov = ps.find_one_float("fov", 45.0)
+            params[6] = np.cos(np.radians(fov))
+            params[7] = np.tan(np.radians(fov) * 0.5)
+            # image map (projection.rs MIPMap / goniometric.rs photometric
+            # map), resampled to the fixed 64x64 atlas tile
+            mapname = ps.find_one_string("mapname", "")
+            if mapname:
+                try:
+                    from pbrt_tpu.io.image_io import read_image
+                    img = np.asarray(read_image(
+                        os.path.join(cwd, mapname)), np.float32)
+                    if img.ndim == 2:
+                        img = np.repeat(img[:, :, None], 3, -1)
+                    ys = np.linspace(0, img.shape[0] - 1, 64).astype(int)
+                    xs = np.linspace(0, img.shape[1] - 1, 64).astype(int)
+                    params[8] = len(light_images)
+                    light_images.append(img[ys][:, xs, :3])
+                except Exception as e:  # noqa: BLE001
+                    print(f"warning: light map {mapname!r}: {e}")
         elif kid == L_DISTANT:
             L = ps.find_one_rgb("L", [1, 1, 1]) * scale
             frm = ps.find_one_rgb("from", [0, 0, 0])
@@ -343,7 +363,6 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
             L = ps.find_one_rgb("L", [1, 1, 1]) * scale
             mapname = ps.find_one_string("mapname", "")
             if mapname:
-                import os
                 path = mapname if os.path.isabs(mapname) else os.path.join(cwd, mapname)
                 try:
                     if path.lower().endswith(".exr") or path.lower().endswith(".pfm"):
@@ -402,7 +421,9 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         jnp.asarray(f2d), jnp.asarray(cond_cdf), jnp.asarray(cond_int),
         jnp.asarray(cond_int), jnp.asarray(marg_cdf), jnp.asarray(np.float32(marg_int)),
         jnp.asarray(env_image),
-        jnp.asarray(ltri[:, 0]), jnp.asarray(ltri[:, 1]), jnp.asarray(ltri[:, 2]))
+        jnp.asarray(ltri[:, 0]), jnp.asarray(ltri[:, 1]), jnp.asarray(ltri[:, 2]),
+        jnp.asarray(np.stack(light_images).astype(np.float32) if light_images
+                    else np.zeros((1, 1, 1, 3), np.float32)))
 
     # light selection distribution (power strategy,
     # core/src/light_distrib/mod.rs power)
