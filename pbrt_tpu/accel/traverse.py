@@ -142,115 +142,10 @@ def intersect_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
     return TriHit(t_best, tri_best, b1_best, b2_best)
 
 
-def intersect_bvh_packet(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
-                         any_hit: bool = False, packet: int = 128) -> TriHit:
-    """Packet BVH traversal: one stack per PACKET of rays, not per ray.
-
-    TPU rationale: per-ray traversal gathers a [N,16] node record per
-    while-iteration — N-row HBM gathers dominate (bench_micro.py). A packet
-    of `packet` rays (default 128 = one VPU lane row) shares one stack; each
-    iteration gathers ONE node per packet ([P,16], P=N/packet rows) and
-    tests all lanes against it with pure vector ops. For coherent wavefronts
-    (camera/shadow rays — and bounce rays after wavefront sorting) the union
-    of visited nodes stays near the per-ray count, so gather traffic drops
-    ~packet x. Mirrors the reference's per-thread stack walk
-    (accelerators/src/bvh/mod.rs:173-203) collapsed over ray groups.
-    """
-    N = o.shape[0]
-    K = min(packet, N)
-    pad = (-N) % K
-    if pad:
-        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, 3))], 0)
-        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, 3))], 0)
-        t_max = jnp.concatenate([jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,)),
-                                 jnp.zeros((pad,), jnp.float32)], 0)
-    P = (N + pad) // K
-    o = o.reshape(P, K, 3)
-    d = d.reshape(P, K, 3)
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (P * K,)).reshape(P, K)
-    lanesP = jnp.arange(P)
-    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
-    neg_dir = d < 0.0
-
-    zero_f = (o[:, :, 0] + d[:, :, 0]) * 0.0        # [P,K] sharding-varying zero
-    zero_i = zero_f.astype(jnp.int32)
-    zp = zero_i[:, 0]                                # [P]
-    stack = jnp.broadcast_to(zp[:, None], (P, TRAVERSAL_STACK))
-    t_best = t_max + zero_f
-    tri_best = zero_i - 1
-    b1_best = zero_f
-    b2_best = zero_f
-
-    order = bvh.prim_order
-    tp0s = tri_p0[order]
-    tp1s = tri_p1[order]
-    tp2s = tri_p2[order]
-
-    hit_root, _ = _slab(bvh.bounds_lo[0], bvh.bounds_hi[0], o, inv_d, t_best)
-    pending = hit_root                               # [P,K] rays still unresolved
-    sp = jnp.where(jnp.any(hit_root, axis=1), zp + 1, zp)
-
-    def cond(state):
-        return jnp.any(state[1] > 0)
-
-    def body(state):
-        stack, sp, t_best, tri_best, b1_best, b2_best, pending = state
-        active = sp > 0                              # [P]
-        spm1 = jnp.maximum(sp - 1, 0)
-        node = stack[lanesP, spm1]
-        sp = jnp.where(active, spm1, sp)
-
-        rec = bvh.packed[node]                       # [P,16] — ONE row per packet
-        ints = jax.lax.bitcast_convert_type(rec[:, 12:16], jnp.int32)
-        rchild, count, offset, ax = ints[:, 0], ints[:, 1], ints[:, 2], ints[:, 3]
-        is_leaf = count > 0
-        leaf_active = active & is_leaf
-
-        for i in range(MAX_LEAF_PRIMS):
-            valid = leaf_active & (i < count)        # [P]
-            sidx = jnp.where(valid, offset + i, 0)
-            hit, t, b0, b1, b2 = intersect_tri(
-                tp0s[sidx][:, None, :], tp1s[sidx][:, None, :],
-                tp2s[sidx][:, None, :], o, d, t_best)
-            closer = valid[:, None] & hit            # [P,K]
-            t_best = jnp.where(closer, t, t_best)
-            tri_best = jnp.where(closer, sidx[:, None], tri_best)
-            b1_best = jnp.where(closer, b1, b1_best)
-            b2_best = jnp.where(closer, b2, b2_best)
-            pending = pending & ~closer if any_hit else pending
-
-        int_active = active & ~is_leaf
-        left = node + 1
-        hit_l, _ = _slab(rec[:, None, 0:3], rec[:, None, 3:6], o, inv_d, t_best)
-        hit_r, _ = _slab(rec[:, None, 6:9], rec[:, None, 9:12], o, inv_d, t_best)
-        hit_l = jnp.any(hit_l & pending, axis=1) & int_active   # [P]
-        hit_r = jnp.any(hit_r & pending, axis=1) & int_active
-        # near/far by packet-majority direction sign along the split axis
-        neg_ax = jnp.take_along_axis(neg_dir, ax[:, None, None], axis=-1)[:, :, 0]
-        swap = jnp.sum(neg_ax, axis=1) * 2 > K
-        near = jnp.where(swap, rchild, left)
-        far = jnp.where(swap, left, rchild)
-        hit_near = jnp.where(swap, hit_r, hit_l)
-        hit_far = jnp.where(swap, hit_l, hit_r)
-
-        idx = jnp.where(hit_far, sp, TRAVERSAL_STACK)
-        stack = stack.at[lanesP, idx].set(far, mode="drop")
-        sp = sp + hit_far.astype(jnp.int32)
-        idx = jnp.where(hit_near, sp, TRAVERSAL_STACK)
-        stack = stack.at[lanesP, idx].set(near, mode="drop")
-        sp = sp + hit_near.astype(jnp.int32)
-
-        if any_hit:
-            sp = jnp.where(jnp.any(pending, axis=1), sp, 0)
-        return stack, sp, t_best, tri_best, b1_best, b2_best, pending
-
-    state = (stack, sp, t_best, tri_best, b1_best, b2_best, pending)
-    stack, sp, t_best, tri_best, b1_best, b2_best, pending = jax.lax.while_loop(
-        cond, body, state)
-    tri_best = jnp.where(tri_best >= 0, order[jnp.maximum(tri_best, 0)], -1)
-    th = TriHit(t_best.reshape(-1)[:N], tri_best.reshape(-1)[:N],
-                b1_best.reshape(-1)[:N], b2_best.reshape(-1)[:N])
-    return th
+# NOTE: the XLA packet-traversal variant that lived here (one stack per
+# 128-ray packet, lax.while_loop) is superseded by the Pallas kernel in
+# accel/pallas_traverse.py, which implements the same packet design inside
+# one kernel at ~100x the speed; it was removed as dead code (ADVICE r1).
 
 
 def intersect_bruteforce(tri_p0, tri_p1, tri_p2, o, d, t_max) -> TriHit:

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from pbrt_tpu.film import FilmState, add_samples, develop
 from pbrt_tpu.render import _sample_pixels, _li_fn
@@ -63,7 +63,7 @@ def render_sharded(cs, mesh: Mesh = None, options=None, verbose=False):
                             ray_w, table=table)
         return jax.lax.psum(local, "rays")
 
-    sharded = shard_map(shard_step, mesh=mesh,
+    sharded = shard_map(shard_step, mesh=mesh, check_vma=False,
                         in_specs=(P("rays"), P("rays"), P("rays")),
                         out_specs=P())
 
