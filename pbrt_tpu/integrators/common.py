@@ -79,15 +79,22 @@ def select_light_pdf(cs, p, light_idx):
     return data.light_distr.discrete_pdf(safe)
 
 
-def sample_one_light(cs, si, lobes, active, u_sel, u_light):
-    """NEE with MIS light-sample half (integrator/common.rs:90,150).
+def prepare_one_light(cs, si, lobes, active, u_sel, u_light):
+    """NEE light-sample half WITHOUT the occlusion trace.
 
-    Returns Ld [N,3] (unweighted by beta)."""
+    Returns (ld [N,3] candidate contribution, o_sh, d_sh, dist [N],
+    contributes [N] bool). The caller traces the shadow ray — either
+    standalone (sample_one_light) or merged with the bounce's next-ray
+    traversal (path integrator's intersect_pair launch)."""
     data = cs.data
     flags = cs.flags
+    n = si.p.shape[0]
     ftab = data.fourier if flags.has_fourier else None
     if flags.n_lights == 0:
-        return jnp.zeros(si.p.shape, jnp.float32)
+        z = jnp.zeros((n,), jnp.float32)
+        up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+        return (jnp.zeros(si.p.shape, jnp.float32), si.p, up, z,
+                jnp.zeros((n,), bool))
     light_idx, pmf, _ = select_light(cs, si.p, u_sel)
     ls = LT.sample_li(data.lights, data, light_idx, si.p, u_light,
                       data.world_center, data.world_radius)
@@ -96,20 +103,31 @@ def sample_one_light(cs, si, lobes, active, u_sel, u_light):
     f = B.bsdf_f(lobes, wo_local, wi_local, ftab) * vm.absdot(ls.wi, si.ns)[:, None]
     contributes = active & (ls.pdf > 0.0) & ~B.black(f) & ~B.black(ls.li) & (pmf > 0.0)
 
-    # shadow ray (VisibilityTester::unoccluded, visibility_tester.rs)
+    # shadow ray geometry (VisibilityTester::unoccluded, visibility_tester.rs)
     o = si.spawn_origin(ls.wi)
     to_l = ls.p_light - o
     dist = vm.length(to_l)
     sd = to_l / jnp.maximum(dist, 1e-12)[:, None]
-    occluded = intersect_p(data, flags, o, sd, dist * (1.0 - 1e-3))
-    contributes = contributes & ~occluded
 
     # MIS: delta lights skip the heuristic (estimate_direct)
     pdf_b = B.bsdf_pdf(lobes, wo_local, wi_local, ftab)
     w_l = jnp.where(ls.is_delta, 1.0, power_heuristic(1.0, ls.pdf * pmf, 1.0, pdf_b))
     denom = jnp.maximum(ls.pdf * pmf, 1e-12)
     ld = f * ls.li * (w_l / denom)[:, None]
-    return jnp.where(contributes[:, None], ld, 0.0)
+    ld = jnp.where(contributes[:, None], ld, 0.0)
+    return ld, o, sd, dist * (1.0 - 1e-3), contributes
+
+
+def sample_one_light(cs, si, lobes, active, u_sel, u_light):
+    """NEE with MIS light-sample half (integrator/common.rs:90,150).
+
+    Returns Ld [N,3] (unweighted by beta)."""
+    if cs.flags.n_lights == 0:
+        return jnp.zeros(si.p.shape, jnp.float32)
+    ld, o, sd, dist, contributes = prepare_one_light(cs, si, lobes, active,
+                                                     u_sel, u_light)
+    occluded = intersect_p(cs.data, cs.flags, o, sd, dist)
+    return jnp.where((contributes & ~occluded)[:, None], ld, 0.0)
 
 
 def light_pdf_for_dir(cs, prev_p, wi, si_next, light_idx):

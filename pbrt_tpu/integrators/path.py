@@ -20,10 +20,10 @@ from pbrt_tpu.samplers import sample_dim, sample_2d
 from pbrt_tpu.materials import compute_lobes
 from pbrt_tpu.materials import bsdf as B
 from pbrt_tpu import lights as LT
-from pbrt_tpu.scene.intersect import intersect
+from pbrt_tpu.scene.intersect import intersect, intersect_pair
 from pbrt_tpu.core.interaction import compute_differentials
 from pbrt_tpu.integrators.common import (bounce_base, camera_rays,
-                                         sample_one_light, light_pdf_for_dir,
+                                         prepare_one_light, light_pdf_for_dir,
                                          infinite_pdf_for_dir)
 
 
@@ -92,9 +92,12 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         sss_rho3 = jnp.zeros((n, 3), jnp.float32)
         sss_kd_adapter = jnp.zeros((n,), jnp.float32)
 
+    # camera-ray closest hit; per bounce thereafter the next-ray closest hit
+    # and the NEE shadow occlusion ride ONE merged traversal (intersect_pair)
+    si = intersect(data, flags, o, normalize(d), t_max)
+
     for bounce in range(max_depth + 1):
         base = bounce_base(bounce)
-        si = intersect(data, flags, o, normalize(d), t_max)
         if flags.has_subsurface:
             # exit interaction for pending probes: Sp(dist)/pdf_sp reweights
             dist = vm.length(si.p - sss_entry_p)
@@ -159,12 +162,14 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
                     sss_here.reshape((n,) + (1,) * (a.ndim - 1)), b, a),
                 lobes, adapter)
 
-        # ---- NEE ----
+        # ---- NEE (light-sample half; occlusion deferred to the merged
+        # next+shadow traversal below) ----
         u_sel = sample_dim_(base + 1)
         u_light = sample_2d_(base + 2)
         cnt["shadow_rays"] = cnt["shadow_rays"] + jnp.sum(active.astype(jnp.float32))
-        ld = sample_one_light(cs, si, lobes, active, u_sel, u_light)
-        L = L + jnp.where(active[:, None], beta * ld, 0.0)
+        ld, o_sh, d_sh, dist_sh, nee_live = prepare_one_light(
+            cs, si, lobes, active, u_sel, u_light)
+        beta_nee = beta
 
         # ---- BSDF sampling ----
         u_lobe = sample_dim_(base + 4)
@@ -232,6 +237,11 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
             cnt["paths_terminated_rr"] = cnt["paths_terminated_rr"] + jnp.sum(
                 (active & ~survive).astype(jnp.float32))
             active = active & survive
+
+        # ---- merged traversal: next-ray closest hit + shadow occlusion ----
+        si, occluded = intersect_pair(data, flags, o, normalize(d), t_max,
+                                      active, o_sh, d_sh, dist_sh, nee_live)
+        L = L + jnp.where((nee_live & ~occluded)[:, None], beta_nee * ld, 0.0)
 
     if with_stats:
         return L, p_film, ray_w, cnt

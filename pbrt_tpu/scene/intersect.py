@@ -96,7 +96,7 @@ ALPHA_ROUNDS = 3   # re-trace rounds past alpha-masked hits per query
 def _closest_tris(scene, flags, o, d, t_best):
     if flags.use_pallas:
         from pbrt_tpu.accel.pallas_traverse import intersect_bvh_pallas
-        return intersect_bvh_pallas(scene.pbvh, o, d, t_best, sort=True)
+        return intersect_bvh_pallas(scene.pbvh, o, d, t_best)
     if flags.use_bvh and flags.accel == "kdtree":
         return intersect_kdtree(scene.kd, scene.tri_p0, scene.tri_p1,
                                 scene.tri_p2, o, d, t_best)
@@ -108,10 +108,17 @@ def _closest_tris(scene, flags, o, d, t_best):
 
 
 def _alpha_of_hit(scene, tri_id, b1, b2, o, d, t, shadow=False):
-    """Evaluate a hit triangle's alpha-mask texture ([N]; 1.0 = opaque)."""
+    """Evaluate a hit triangle's alpha-mask texture ([N]; 1.0 = opaque).
+
+    shadow may be a python bool or a per-lane [N] bool array (merged
+    next+shadow wavefronts pick the shadow_alpha_mask column per lane)."""
     from pbrt_tpu.textures import eval_texture
     tid = jnp.maximum(tri_id, 0)
-    aid = scene.prim_alpha[scene.tri_prim[tid], 1 if shadow else 0]
+    if isinstance(shadow, jnp.ndarray):
+        col = jnp.where(shadow, 1, 0)
+    else:
+        col = 1 if shadow else 0
+    aid = scene.prim_alpha[scene.tri_prim[tid], col]
     b0 = 1.0 - b1 - b2
     tuv = scene.tri_uv[tid]
     uv = b0[:, None] * tuv[:, 0] + b1[:, None] * tuv[:, 1] + b2[:, None] * tuv[:, 2]
@@ -172,6 +179,63 @@ def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max) -> SurfaceIntera
     else:
         q_t = tri_t
         q_id = jnp.full((N,), -1, jnp.int32)
+    return _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2,
+                        q_t, q_id)
+
+
+def intersect_pair(scene: SceneData, flags: SceneFlags,
+                   o_nx, d_nx, tmax_nx, active_nx,
+                   o_sh, d_sh, dist_sh, active_sh):
+    """One merged traversal for a bounce's next-ray + shadow-ray sets.
+
+    The path integrator needs, per bounce, a closest hit for the continued
+    rays AND an occlusion bit for the NEE shadow rays. Tracing them in one
+    2N launch halves the per-launch overhead (Pallas staging + quadric
+    pass), and dead lanes of either set are re-pointed at a far-miss origin
+    so their blocks retire in one root test (the FAR trick — with t_max=0
+    alone, an origin inside the world still walks its whole subtree).
+
+    Returns (si_next [N], occluded [N] bool). Reference semantics:
+    scene.rs intersect + VisibilityTester::unoccluded.
+    """
+    N = o_nx.shape[0]
+    if flags.use_pallas and flags.n_tris > 0:
+        from pbrt_tpu.accel.pallas_traverse import far_miss_rays
+        fo, fd = far_miss_rays(scene.pbvh, N)
+        o_nx = jnp.where(active_nx[:, None], o_nx, fo)
+        d_nx = jnp.where(active_nx[:, None], d_nx, fd)
+        o_sh = jnp.where(active_sh[:, None], o_sh, fo)
+        d_sh = jnp.where(active_sh[:, None], d_sh, fd)
+    o2 = jnp.concatenate([o_nx, o_sh], 0)
+    d2 = jnp.concatenate([d_nx, d_sh], 0)
+    tm2 = jnp.concatenate([jnp.broadcast_to(jnp.asarray(tmax_nx, jnp.float32), (N,)),
+                           jnp.broadcast_to(jnp.asarray(dist_sh, jnp.float32), (N,))], 0)
+
+    if flags.n_tris > 0:
+        th = _closest_tris_alpha(scene, flags, o2, d2, tm2,
+                                 shadow=jnp.concatenate(
+                                     [jnp.zeros((N,), bool), jnp.ones((N,), bool)])
+                                 if flags.has_alpha else False)
+        tri_t, tri_id, b1, b2 = th.t, th.tri, th.b1, th.b2
+    else:
+        tri_t = tm2
+        tri_id = jnp.full((2 * N,), -1, jnp.int32)
+        b1 = b2 = jnp.zeros((2 * N,), jnp.float32)
+    if flags.n_quadrics > 0:
+        q_t, q_id = _quadric_pass(scene, flags, o2, d2, tri_t)
+    else:
+        q_t = tri_t
+        q_id = jnp.full((2 * N,), -1, jnp.int32)
+
+    occluded = active_sh & ((tri_id[N:] >= 0) | (q_id[N:] >= 0))
+    si = _assemble_si(scene, flags, o_nx, d_nx, tmax_nx,
+                      tri_t[:N], tri_id[:N], b1[:N], b2[:N],
+                      q_t[:N], q_id[:N])
+    return si, occluded
+
+
+def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id):
+    N = o.shape[0]
 
     use_quad = q_id >= 0   # quadric pass already bounded by tri_t
     any_hit = (tri_id >= 0) | use_quad
@@ -254,8 +318,7 @@ def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max):
                                      shadow=True)
         elif flags.use_pallas:
             from pbrt_tpu.accel.pallas_traverse import intersect_bvh_pallas
-            th = intersect_bvh_pallas(scene.pbvh, o, d, t_max, any_hit=True,
-                                      sort=True)
+            th = intersect_bvh_pallas(scene.pbvh, o, d, t_max, any_hit=True)
         elif flags.use_bvh and flags.accel == "kdtree":
             th = intersect_kdtree(scene.kd, scene.tri_p0, scene.tri_p1,
                                   scene.tri_p2, o, d, t_max, any_hit=True)
