@@ -40,7 +40,7 @@ def main():
         return jnp.sum(L)
 
     total = int(os.environ.get("BENCH_RAYS", 1 << 19))
-    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 16))
+    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
     chunk = min(chunk, total)
     # coherent wavefront: pixels in Morton order with spp repeats — the
     # order real renders dispatch (render.py _sample_pixels), which keeps

@@ -256,3 +256,18 @@ def offset_ray_origin(p, p_err, n, w):
     po = p + offset
     po = jnp.where(offset > 0.0, next_float_up(po), jnp.where(offset < 0.0, next_float_down(po), po))
     return po
+
+
+def gather_rows(tab, idx):
+    """tab[idx] for a row table of any inner rank via a 2D gather.
+
+    XLA on TPU lowers gathers from >2-D tables ~10-25x slower than row
+    gathers from 2-D tables (measured 0.68 ms vs 0.03 ms for 64K rows of a
+    [T,3,3] table); flattening the inner dims first and reshaping after is
+    bit-identical and hits the fast path.
+    """
+    inner = tab.shape[1:]
+    if len(inner) <= 1:
+        return tab[idx]
+    flat = tab.reshape(tab.shape[0], -1)
+    return flat[idx].reshape(idx.shape + inner)

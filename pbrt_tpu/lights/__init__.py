@@ -115,7 +115,7 @@ def sample_li(lights: LightTable, scene, light_idx, ref_p, u2,
     # a perspective (projection) or equirect (gonio) lookup into the atlas
     if lights.limg.shape[1] > 1:
         imgid = pr[:, 8].astype(jnp.int32)
-        w2l = lights.w2l[li_idx]
+        w2l = vm.gather_rows(lights.w2l, li_idx)
         dl = normalize(jnp.einsum("nij,nj->ni", w2l[:, :3, :3], -wi_point))
         dxl, dyl, dzl = dl[:, 0], dl[:, 1], dl[:, 2]
         tanh = jnp.maximum(pr[:, 7], 1e-6)
@@ -132,7 +132,8 @@ def sample_li(lights: LightTable, scene, light_idx, ref_p, u2,
         K, Hh, Ww = lights.limg.shape[:3]
         ix = jnp.clip((u_ * Ww).astype(jnp.int32), 0, Ww - 1)
         iy = jnp.clip((v_ * Hh).astype(jnp.int32), 0, Hh - 1)
-        mval = lights.limg[jnp.clip(imgid, 0, K - 1), iy, ix]
+        mval = lights.limg.reshape(K * Hh * Ww, 3)[
+            (jnp.clip(imgid, 0, K - 1) * Hh + iy) * Ww + ix]
         has = imgid >= 0
         mod = jnp.where((is_proj & has)[:, None],
                         jnp.where(inside[:, None], mval, 0.0),
@@ -242,12 +243,12 @@ def _sample_infinite(lights, li_idx, ref_p, u2, world_radius) -> LiSample:
         sin_t = jnp.sin(theta)
         w_l = vec3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), jnp.cos(theta))
         # light-to-world rotation
-        l2w = lights.l2w[li_idx]
+        l2w = vm.gather_rows(lights.l2w, li_idx)
         wi_map = jnp.einsum("nij,nj->ni", l2w[:, :3, :3], w_l)
         pdf_map = jnp.where(sin_t > 1e-7, map_pdf / (2.0 * PI * PI * jnp.maximum(sin_t, 1e-7)), 0.0)
         ix = jnp.clip((uv[:, 0] * W).astype(jnp.int32), 0, W - 1)
         iy = jnp.clip((uv[:, 1] * H).astype(jnp.int32), 0, H - 1)
-        li_map = lights.env_image[iy, ix] * lights.L[li_idx]
+        li_map = lights.env_image.reshape(H * W, 3)[iy * W + ix] * lights.L[li_idx]
     else:
         wi_map = jnp.zeros((n, 3), jnp.float32)
         pdf_map = jnp.zeros((n,), jnp.float32)
@@ -276,7 +277,7 @@ def pdf_li(lights: LightTable, scene, light_idx, ref_p, wi, hit_t, hit_cos,
     pdf_area = d2 / jnp.maximum(hit_cos, 1e-9) / total_area
     # infinite
     H, W = lights.env_image.shape[0], lights.env_image.shape[1]
-    w2l = lights.w2l[li_idx]
+    w2l = vm.gather_rows(lights.w2l, li_idx)
     w_l = jnp.einsum("nij,nj->ni", w2l[:, :3, :3], wi)
     theta = vm.spherical_theta(w_l)
     phi = vm.spherical_phi(w_l)
@@ -314,7 +315,7 @@ def le_escaped(lights: LightTable, rd):
                 phi = vm.spherical_phi(w_l)
                 iu = jnp.clip((phi / (2 * PI) * W).astype(jnp.int32), 0, W - 1)
                 iv = jnp.clip((theta / PI * H).astype(jnp.int32), 0, H - 1)
-                mapped = lights.env_image[iv, iu] * lights.L[li]
+                mapped = lights.env_image.reshape(H * W, 3)[iv * W + iu] * lights.L[li]
             else:
                 mapped = jnp.zeros((n, 3), jnp.float32)
             const = jnp.broadcast_to(lights.L[li], (n, 3))

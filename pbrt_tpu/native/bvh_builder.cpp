@@ -169,9 +169,14 @@ struct Builder {
         best_cost = cost[i];
         best = i;
       }
+    // Stop at leaf_size unconditionally: the TPU packet kernel's node visit
+    // costs ~5x a leaf triangle test amortized over the packet (the CPU-era
+    // SAH cost model with isect ~= traversal splits down to 1-tri leaves,
+    // tripling node count and packet-union traversal iterations).
+    if ((e - s) <= leaf_size) return -1;
     float split_cost = kTraversalCost + kIsectCost * best_cost * inv_sa;
     float leaf_cost = kIsectCost * (e - s);
-    if ((e - s) <= leaf_size && leaf_cost <= split_cost) return -1;
+    (void)split_cost; (void)leaf_cost;
     auto *pivot = std::partition(
         prims.data() + s, prims.data() + e,
         [&](const PrimInfo &p) { return bucket_of(p.centroid) <= best; });

@@ -54,8 +54,8 @@ def _quadric_eval_all(scene: SceneData, qi, o, d, t_max):
     """Per-lane full quadric evaluation: for each of the 6 kinds evaluate with
     per-lane params and mask-select by the lane's quadric type."""
     qis = jnp.maximum(qi, 0)
-    w2o = scene.quad_w2o[qis]
-    o2w = scene.quad_o2w[qis]
+    w2o = vm.gather_rows(scene.quad_w2o, qis)
+    o2w = vm.gather_rows(scene.quad_o2w, qis)
     oo = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], o) + w2o[:, :3, 3]
     od = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], d)
     qp = scene.quad_params[qis]      # [N, 8]
@@ -120,7 +120,7 @@ def _alpha_of_hit(scene, tri_id, b1, b2, o, d, t, shadow=False):
         col = 1 if shadow else 0
     aid = scene.prim_alpha[scene.tri_prim[tid], col]
     b0 = 1.0 - b1 - b2
-    tuv = scene.tri_uv[tid]
+    tuv = vm.gather_rows(scene.tri_uv, tid)
     uv = b0[:, None] * tuv[:, 0] + b1[:, None] * tuv[:, 1] + b2[:, None] * tuv[:, 2]
     p = o + t[:, None] * d
     a = eval_texture(scene.tex, aid, uv, p)[:, 0]
@@ -247,9 +247,10 @@ def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id):
     tp0 = scene.tri_p0[tid]
     tp1 = scene.tri_p1[tid]
     tp2 = scene.tri_p2[tid]
-    tn = jnp.where(scene.tri_has_n[tid][:, None, None], scene.tri_n[tid], 0.0)
+    tn = jnp.where(scene.tri_has_n[tid][:, None, None],
+                   vm.gather_rows(scene.tri_n, tid), 0.0)
     has_n = scene.tri_has_n[tid]
-    tuv = scene.tri_uv[tid]
+    tuv = vm.gather_rows(scene.tri_uv, tid)
     p_t, ng_t, ns_raw, uv_t, dpdu_t, dpdv_t, perr_t = triangle_shading(
         tid, b0, b1, b2, tp0, tp1, tp2, None, None, tuv, -d)
     # interpolated shading normals where present

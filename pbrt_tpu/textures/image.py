@@ -140,7 +140,11 @@ def _bilinear_at_level(tex, img, st, level):
     def pix(xx, yy):
         xx = jnp.mod(xx, wl)
         yy = jnp.mod(yy, wl)
-        return tex.atlas[img, yoff + yy, xoff + xx]
+        # flat 2-D row gather: multi-index gathers from the 4-D atlas lower
+        # ~10-25x slower on TPU (see core/math.py gather_rows)
+        K, Ha, Wa = tex.atlas.shape[:3]
+        lin = (img * Ha + (yoff + yy)) * Wa + (xoff + xx)
+        return tex.atlas.reshape(K * Ha * Wa, 3)[lin]
 
     return (pix(x0, y0) * (1 - fx) * (1 - fy) + pix(x0 + 1, y0) * fx * (1 - fy)
             + pix(x0, y0 + 1) * (1 - fx) * fy + pix(x0 + 1, y0 + 1) * fx * fy)
