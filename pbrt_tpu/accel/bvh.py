@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-MAX_LEAF_PRIMS = 4
+MAX_LEAF_PRIMS = 8
 TRAVERSAL_STACK = 64
 
 

@@ -50,15 +50,18 @@ LANES = 128
 STACK = 64          # per-packet stack depth (bvh/mod.rs: 64)
 
 
+LEAF_TRIS = 8       # triangles per leaf block (one full 128-lane row)
+
+
 class PallasBVH(NamedTuple):
     """Kernel-layout mirror of a BVH (pytree of device arrays)."""
     nodes: jnp.ndarray   # [ceil(M/8), 128] f32 — 8 nodes/row x 16 lanes
     meta: jnp.ndarray    # [ceil(M/32), 128] i32 — 32 nodes/row x 4 lanes
-    tris: jnp.ndarray    # [ceil(L/2), 128] f32 — 2 leaf blocks/row
-    order: jnp.ndarray   # [L*4] i32 — leaf slot -> original tri id (-1 pad)
+    tris: jnp.ndarray    # [L, 128] f32 — one 8-tri leaf block per row
+    order: jnp.ndarray   # [L*8] i32 — leaf slot -> original tri id (-1 pad)
     wlo: jnp.ndarray     # [3] world bounds (ray-sort key normalization)
     whi: jnp.ndarray     # [3]
-    metas: jnp.ndarray   # [M] i32 — packed ax|cnt<<2|payload<<5 (SMEM path)
+    metas: jnp.ndarray   # [M] i32 — packed ax|cnt<<2|payload<<6 (SMEM path)
 
     @property
     def vmem_bytes(self) -> int:
@@ -90,17 +93,16 @@ def pack_pallas_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2) -> PallasBVH:
     nodes[:M, :12] = packed[:, :12]
     nodes = nodes.reshape(rows, 128)
 
-    # leaf blocks: 4-aligned, 16 lanes per triangle (p0,p1,p2, pad)
+    # leaf blocks: one full 128-lane row each, 16 lanes per triangle
     leaf_ids = np.nonzero(cnts > 0)[0]
     L = max(len(leaf_ids), 1)
-    Lpad = -(-L // 2) * 2
-    blocks = np.zeros((Lpad, 4, 16), np.float32)
-    new_order = np.full(Lpad * 4, -1, np.int32)
+    blocks = np.zeros((L, LEAF_TRIS, 16), np.float32)
+    new_order = np.full(L * LEAF_TRIS, -1, np.int32)
     mrows = -(-M // 32)
     meta = np.zeros((mrows * 32, 4), np.int32)
     meta[:M, 0] = right
     meta[:M, 3] = axis
-    cs = np.minimum(cnts[leaf_ids], 4)
+    cs = np.minimum(cnts[leaf_ids], LEAF_TRIS)
     starts = offs[leaf_ids]
     for b in range(len(leaf_ids)):
         c = int(cs[b])
@@ -108,16 +110,17 @@ def pack_pallas_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2) -> PallasBVH:
         blocks[b, :c, 0:3] = p0[s:s + c]
         blocks[b, :c, 3:6] = p1[s:s + c]
         blocks[b, :c, 6:9] = p2[s:s + c]
-        new_order[b * 4:b * 4 + c] = order[s:s + c]
+        new_order[b * LEAF_TRIS:b * LEAF_TRIS + c] = order[s:s + c]
     meta[leaf_ids, 1] = cs
     meta[leaf_ids, 2] = np.arange(len(leaf_ids), dtype=np.int32)
-    tris = blocks.reshape(Lpad // 2, 128)
+    tris = blocks.reshape(L, 128)
     wlo = np.minimum(packed[0, 0:3], packed[0, 6:9])
     whi = np.maximum(packed[0, 3:6], packed[0, 9:12])
-    # packed scalar word per node: ax(2) | cnt(3) | payload(27) where the
+    # packed scalar word per node: ax(2) | cnt(4) | payload(26) where the
     # payload is right-child for internal nodes, leaf block id for leaves
+    assert M < (1 << 26) and L < (1 << 26), "payload field overflow"
     payload = np.where(meta[:M, 1] > 0, meta[:M, 2], meta[:M, 0])
-    metas = (meta[:M, 3] | (meta[:M, 1] << 2) | (payload << 5)).astype(np.int32)
+    metas = (meta[:M, 3] | (meta[:M, 1] << 2) | (payload << 6)).astype(np.int32)
     return PallasBVH(jnp.asarray(nodes), jnp.asarray(meta.reshape(mrows, 128)),
                      jnp.asarray(tris), jnp.asarray(new_order),
                      jnp.asarray(wlo), jnp.asarray(whi), jnp.asarray(metas))
@@ -246,16 +249,14 @@ def _kernel(meta_ref, nodes_ref, tris_ref,
                     idx = jnp.where(act, idx, 0)
                     w = meta_ref[idx]
                     ax = w & 3
-                    cnt0 = (w >> 2) & 7
-                    payload = (w >> 5) & 0x7FFFFFF
+                    cnt0 = (w >> 2) & 15
+                    payload = (w >> 6) & 0x3FFFFFF
                     cnt = jnp.where(act, cnt0, 0)
                     blk = jnp.where(cnt0 > 0, payload, 0)
                     nrow = nodes_ref[pl.ds(idx >> 3, 1), :]
                     recs[p].append(pltpu.roll(nrow, -(idx & 7) * 16, 1)[:, :16])
                     scal[s][p] = [act, idx + 1, payload, cnt, blk, ax]
-                    trow = tris_ref[pl.ds(blk >> 1, 1), :]
-                    tbs[p].append(jnp.where((blk & 1) == 1,
-                                            trow[:, 64:], trow[:, :64]))
+                    tbs[p].append(tris_ref[pl.ds(blk, 1), :])
                 sp_ref[s] = jnp.maximum(sp_s - pops, 0)
         else:
             for s in range(rows):
@@ -280,8 +281,7 @@ def _kernel(meta_ref, nodes_ref, tris_ref,
                 blk = mscr_ref[s, 2]
                 ax = mscr_ref[s, 3]
                 scal[s][0].extend([rch, cnt, blk, ax])
-                trow = tris_ref[pl.ds(blk >> 1, 1), :]
-                tb = jnp.where((blk & 1) == 1, trow[:, 64:], trow[:, :64])
+                tb = tris_ref[pl.ds(blk, 1), :]
                 tbs[0].append(tb)
 
         # per-row scalar -> [rows,1] i32 columns (Mosaic cannot concat or
@@ -327,11 +327,11 @@ def _kernel(meta_ref, nodes_ref, tris_ref,
                 tri_b = tri_out[:]
                 b1_b = b1_out[:]
                 b2_b = b2_out[:]
-                for j in range(4):
+                for j in range(LEAF_TRIS):
                     hit, t, b1, b2 = tri_test(tri4[:, j * 16:(j + 1) * 16], t_best)
                     ok = hit & (cnt_col > j)    # cnt_col is [rows,128] i32
                     t_best = jnp.where(ok, t, t_best)
-                    tri_b = jnp.where(ok, blk_col * 4 + j, tri_b)
+                    tri_b = jnp.where(ok, blk_col * LEAF_TRIS + j, tri_b)
                     b1_b = jnp.where(ok, b1, b1_b)
                     b2_b = jnp.where(ok, b2, b2_b)
                 t_out[:] = t_best
@@ -491,14 +491,13 @@ def _kernel_block(meta_ref, nodes_ref, tris_ref,
             idx = jnp.where(act, idx, 0)
             w = meta_ref[idx]
             ax = w & 3
-            cnt0 = (w >> 2) & 7
-            payload = (w >> 5) & 0x7FFFFFF
+            cnt0 = (w >> 2) & 15
+            payload = (w >> 6) & 0x3FFFFFF
             cnt = jnp.where(act, cnt0, 0)
             blk = jnp.where(cnt0 > 0, payload, 0)
             nrow = nodes_ref[pl.ds(idx >> 3, 1), :]
             rec = pltpu.roll(nrow, -(idx & 7) * 16, 1)[:, :16]
-            trow = tris_ref[pl.ds(blk >> 1, 1), :]
-            tb = jnp.where((blk & 1) == 1, trow[:, 64:], trow[:, :64])
+            tb = tris_ref[pl.ds(blk, 1), :]
             slots.append([act, idx + 1, payload, cnt, blk, ax, rec, tb])
         # sp is carried in a register to the push phase and stored once there
 
@@ -527,11 +526,11 @@ def _kernel_block(meta_ref, nodes_ref, tris_ref,
                 b1_b = b1_out[:]
                 b2_b = b2_out[:]
                 cnt_col = cnt + jnp.zeros((rows, LANES), jnp.int32)
-                for j in range(4):
+                for j in range(LEAF_TRIS):
                     hit, t, b1, b2 = tri_test(tb[:, j * 16:(j + 1) * 16] + z16, t_best)
                     ok = hit & (cnt_col > j)
                     t_best = jnp.where(ok, t, t_best)
-                    tri_b = jnp.where(ok, blk * 4 + j, tri_b)
+                    tri_b = jnp.where(ok, blk * LEAF_TRIS + j, tri_b)
                     b1_b = jnp.where(ok, b1, b1_b)
                     b2_b = jnp.where(ok, b2, b2_b)
                 t_out[:] = t_best
@@ -570,7 +569,7 @@ def _kernel_block(meta_ref, nodes_ref, tris_ref,
     it_out[pl.program_id(0)] = n_it
 
 
-def _kernel_block_all(meta_ref, nodes_ref, tris_ref,
+def _kernel_block_all(meta_ref, anyhit_ref, nodes_ref, tris_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                       t_out, tri_out, b1_out, b2_out, it_out,
                       stack_ref, sp_ref, ts_ref, tris_scr, b1s_ref, b2s_ref,
@@ -590,6 +589,11 @@ def _kernel_block_all(meta_ref, nodes_ref, tris_ref,
 
     def block_body(b, _):
         sl = pl.ds(b * rows, rows)
+        # per-block any-hit: occlusion-only blocks (shadow rays of a merged
+        # launch) retire each lane at its FIRST hit by zeroing its t_best,
+        # which fails every later slab/tri test for that lane and shrinks
+        # the packet union as lanes occlude
+        blk_any = (anyhit_ref[b] > 0) if not any_hit else True
         ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
         dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
         tm = tm_ref[sl, :]
@@ -676,8 +680,8 @@ def _kernel_block_all(meta_ref, nodes_ref, tris_ref,
                 idx = jnp.where(act, idx, 0)
                 w = meta_ref[idx]
                 ax = w & 3
-                cnt0 = (w >> 2) & 7
-                payload = (w >> 5) & 0x7FFFFFF
+                cnt0 = (w >> 2) & 15
+                payload = (w >> 6) & 0x3FFFFFF
                 cnt = jnp.where(act, cnt0, 0)
                 blk = jnp.where(cnt0 > 0, payload, 0)
                 nrow = nodes_ref[pl.ds(idx >> 3, 1), :]
@@ -686,8 +690,7 @@ def _kernel_block_all(meta_ref, nodes_ref, tris_ref,
                 # the leaf gate serializes the load against the gate's scalar
                 # condition and measures ~10% SLOWER despite ~70% of pops
                 # being internal nodes
-                trow = tris_ref[pl.ds(blk >> 1, 1), :]
-                tb = jnp.where((blk & 1) == 1, trow[:, 64:], trow[:, :64])
+                tb = tris_ref[pl.ds(blk, 1), :]
                 slots.append([act, idx + 1, payload, cnt, blk, ax, rec, tb])
 
             t_best0 = ts_ref[:]
@@ -715,12 +718,15 @@ def _kernel_block_all(meta_ref, nodes_ref, tris_ref,
                     b1_b = b1s_ref[:]
                     b2_b = b2s_ref[:]
                     cnt_col = cnt + jnp.zeros((rows, LANES), jnp.int32)
-                    for j in range(4):
+                    # occlusion-only block: a hit lane's t_best drops to 0
+                    anyv = jnp.where(blk_any, 1, 0) + jnp.zeros((rows, LANES),
+                                                                jnp.int32)
+                    for j in range(LEAF_TRIS):
                         hit, t, b1, b2 = tri_test(tb[:, j * 16:(j + 1) * 16] + z16,
                                                   t_best)
                         ok = hit & (cnt_col > j)
-                        t_best = jnp.where(ok, t, t_best)
-                        tri_b = jnp.where(ok, blk * 4 + j, tri_b)
+                        t_best = jnp.where(ok, jnp.where(anyv > 0, 0.0, t), t_best)
+                        tri_b = jnp.where(ok, blk * LEAF_TRIS + j, tri_b)
                         b1_b = jnp.where(ok, b1, b1_b)
                         b2_b = jnp.where(ok, b2, b2_b)
                     ts_ref[:] = t_best
@@ -745,9 +751,9 @@ def _kernel_block_all(meta_ref, nodes_ref, tris_ref,
                 stack_ref[jnp.minimum(sp_s + h_far, STACKB - 1)] = near
                 sp_s = jnp.minimum(sp_s + h_far + h_near, STACKB - 1)
 
-            if any_hit:
-                all_hit = jnp.sum(jnp.where(tris_scr[:] >= 0, 1, 0)) == rows * LANES
-                sp_s = jnp.where(all_hit, 0, sp_s)
+            all_hit = jnp.sum(jnp.where(tris_scr[:] >= 0, 1, 0)) == rows * LANES
+            sp_s = jnp.where(jnp.logical_and(blk_any if not any_hit else True,
+                                             all_hit), 0, sp_s)
             sp_ref[0] = sp_s
             return (it + 1, sp_s > 0)
 
@@ -798,7 +804,7 @@ POPS = 8
                                              "dbg_skip_leaf", "dbg_push_all"))
 def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
               sort=False, with_iters=False, rows=ROWS, pops=POPS,
-              mode="block1",
+              mode="block1", anyhit_mask=None,
               dbg_skip_leaf=False, dbg_push_all=False):
     if sort:
         perm = jnp.argsort(_ray_sort_key(pb, o, d))
@@ -833,6 +839,16 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
         # single grid step; kernel loops over blocks internally (avoids the
         # ~45us/step pipeline overhead of a blocked grid)
         nblocks = grid
+        if anyhit_mask is None:
+            ah_blocks = jnp.full((nblocks,), 1 if any_hit else 0, jnp.int32)
+        else:
+            # per-block flag: 1 only when every ray of the block is
+            # occlusion-only (straddling blocks stay closest-hit, which is
+            # still a correct occlusion answer)
+            m = jnp.concatenate([anyhit_mask.astype(jnp.int32),
+                                 jnp.zeros((npad,), jnp.int32)])
+            ah_blocks = (jnp.sum(m.reshape(nblocks, BLK), axis=1) == BLK
+                         ).astype(jnp.int32)
         kern = functools.partial(_kernel_block_all, any_hit=any_hit, rows=rows,
                                  pops=pops, nblocks=nblocks)
         out_shapes = [jax.ShapeDtypeStruct((R, LANES), jnp.float32),
@@ -841,12 +857,13 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
                       jax.ShapeDtypeStruct((R, LANES), jnp.float32),
                       jax.ShapeDtypeStruct((nblocks,), jnp.int32)]
         vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+        sm = pl.BlockSpec(memory_space=pltpu.SMEM)
         t, tri, b1, b2, iters = pl.pallas_call(
             kern,
             out_shape=out_shapes,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vm, vm]
+            in_specs=[sm, sm, vm, vm]
             + [vm] * 7,
-            out_specs=[vm] * 4 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[vm] * 4 + [sm],
             scratch_shapes=[pltpu.SMEM((STACKB,), jnp.int32),
                             pltpu.SMEM((1,), jnp.int32),
                             pltpu.VMEM((rows, LANES), jnp.float32),
@@ -854,7 +871,7 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
                             pltpu.VMEM((rows, LANES), jnp.float32),
                             pltpu.VMEM((rows, LANES), jnp.float32)],
             interpret=interpret,
-        )(pb.metas, pb.nodes, pb.tris,
+        )(pb.metas, ah_blocks, pb.nodes, pb.tris,
           comp(o_p[:, 0]), comp(o_p[:, 1]), comp(o_p[:, 2]),
           comp(d_p[:, 0]), comp(d_p[:, 1]), comp(d_p[:, 2]), comp(tm_p))
         slot = tri.reshape(-1)[:N]
@@ -919,12 +936,15 @@ def far_miss_rays(pb: PallasBVH, n):
 
 
 def intersect_bvh_pallas(pb: PallasBVH, o, d, t_max, any_hit: bool = False,
-                         interpret: bool = False, sort: bool = False) -> TriHit:
+                         interpret: bool = False, sort: bool = False,
+                         anyhit_mask=None) -> TriHit:
     """Closest-hit (or any-hit) via the Pallas kernel. Same contract as
     accel/traverse.py::intersect_bvh. sort=True re-orders lanes by a
     spatial-coherence key before traversal; render wavefronts are dispatched
     in pixel-Morton order and stay origin-coherent across bounces, so the
     default is no sort (measured: sorting real bounce wavefronts cuts node
-    visits <10% and costs an argsort + gathers + unsort scatters)."""
+    visits <10% and costs an argsort + gathers + unsort scatters).
+    anyhit_mask [N] bool marks occlusion-only lanes of a merged launch:
+    whole blocks of them retire each lane at its first hit."""
     return _traverse(pb, o, d, t_max, any_hit=any_hit, interpret=interpret,
-                     sort=sort)
+                     sort=sort, anyhit_mask=anyhit_mask)

@@ -93,10 +93,11 @@ def _quadric_eval_all(scene: SceneData, qi, o, d, t_max):
 ALPHA_ROUNDS = 3   # re-trace rounds past alpha-masked hits per query
 
 
-def _closest_tris(scene, flags, o, d, t_best):
+def _closest_tris(scene, flags, o, d, t_best, anyhit_mask=None):
     if flags.use_pallas:
         from pbrt_tpu.accel.pallas_traverse import intersect_bvh_pallas
-        return intersect_bvh_pallas(scene.pbvh, o, d, t_best)
+        return intersect_bvh_pallas(scene.pbvh, o, d, t_best,
+                                    anyhit_mask=anyhit_mask)
     if flags.use_bvh and flags.accel == "kdtree":
         return intersect_kdtree(scene.kd, scene.tri_p0, scene.tri_p1,
                                 scene.tri_p2, o, d, t_best)
@@ -212,10 +213,18 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
                            jnp.broadcast_to(jnp.asarray(dist_sh, jnp.float32), (N,))], 0)
 
     if flags.n_tris > 0:
-        th = _closest_tris_alpha(scene, flags, o2, d2, tm2,
-                                 shadow=jnp.concatenate(
-                                     [jnp.zeros((N,), bool), jnp.ones((N,), bool)])
-                                 if flags.has_alpha else False)
+        if flags.has_alpha:
+            th = _closest_tris_alpha(scene, flags, o2, d2, tm2,
+                                     shadow=jnp.concatenate(
+                                         [jnp.zeros((N,), bool),
+                                          jnp.ones((N,), bool)]))
+        else:
+            # shadow half is occlusion-only: its blocks retire lanes at
+            # their first hit inside the kernel
+            th = _closest_tris(scene, flags, o2, d2, tm2,
+                               anyhit_mask=jnp.concatenate(
+                                   [jnp.zeros((N,), bool),
+                                    jnp.ones((N,), bool)]))
         tri_t, tri_id, b1, b2 = th.t, th.tri, th.b1, th.b2
     else:
         tri_t = tm2
