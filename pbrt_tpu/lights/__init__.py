@@ -110,35 +110,8 @@ def sample_li(lights: LightTable, scene, light_idx, ref_p, u2,
     cos_w = dot(-wi_point, sdir)
     fall = _spot_falloff(cos_w, pr[:, 6], pr[:, 7])
     li_point = jnp.where((kind == L_SPOT)[:, None], li_point * fall[:, None], li_point)
-    # goniometric/projection image modulation (projection.rs projection(),
-    # goniometric.rs scale()): direction light->point in light space, then
-    # a perspective (projection) or equirect (gonio) lookup into the atlas
     if lights.limg.shape[1] > 1:
-        imgid = pr[:, 8].astype(jnp.int32)
-        w2l = vm.gather_rows(lights.w2l, li_idx)
-        dl = normalize(jnp.einsum("nij,nj->ni", w2l[:, :3, :3], -wi_point))
-        dxl, dyl, dzl = dl[:, 0], dl[:, 1], dl[:, 2]
-        tanh = jnp.maximum(pr[:, 7], 1e-6)
-        zs = jnp.where(jnp.abs(dzl) > 1e-6, dzl, 1e-6)
-        s = dxl / (zs * tanh) * 0.5 + 0.5
-        t = dyl / (zs * tanh) * 0.5 + 0.5
-        inside = (dzl > 0) & (s >= 0) & (s <= 1) & (t >= 0) & (t <= 1)
-        theta = jnp.arccos(jnp.clip(dzl, -1.0, 1.0))
-        phi = jnp.arctan2(dyl, dxl)
-        phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
-        is_proj = kind == L_PROJECTION
-        u_ = jnp.where(is_proj, s, phi / (2.0 * jnp.pi))
-        v_ = jnp.where(is_proj, t, theta / jnp.pi)
-        K, Hh, Ww = lights.limg.shape[:3]
-        ix = jnp.clip((u_ * Ww).astype(jnp.int32), 0, Ww - 1)
-        iy = jnp.clip((v_ * Hh).astype(jnp.int32), 0, Hh - 1)
-        mval = lights.limg.reshape(K * Hh * Ww, 3)[
-            (jnp.clip(imgid, 0, K - 1) * Hh + iy) * Ww + ix]
-        has = imgid >= 0
-        mod = jnp.where((is_proj & has)[:, None],
-                        jnp.where(inside[:, None], mval, 0.0),
-                        jnp.where(((kind == L_GONIO) & has)[:, None], mval, 1.0))
-        li_point = li_point * mod
+        li_point = li_point * _map_modulation(lights, kind, pr, li_idx, -wi_point)
 
     # ---- distant ----
     w_light = pr[:, 3:6]
@@ -367,6 +340,44 @@ class LeSample(NamedTuple):
     pdf_dir: jnp.ndarray   # [N]
 
 
+def _map_modulation(lights, kind, pr, li_idx, dir_world):
+    """Projection/goniometric image-map modulation of a point-family light's
+    emission along world-space direction dir_world (light -> receiver).
+
+    Reference: projection.rs projection(), goniometric.rs scale(). Used by
+    BOTH sample_li (NEE) and sample_le (light subpaths, BDPT/SPPM) so the
+    two transport directions agree on mapped lights. Projection directions
+    outside the frustum window emit nothing.
+    """
+    imgid = pr[:, 8].astype(jnp.int32)
+    w2l = vm.gather_rows(lights.w2l, li_idx)
+    dl = normalize(jnp.einsum("nij,nj->ni", w2l[:, :3, :3], dir_world))
+    dxl, dyl, dzl = dl[:, 0], dl[:, 1], dl[:, 2]
+    tanh = jnp.maximum(pr[:, 7], 1e-6)
+    # projection screen window follows the source map aspect (params[9] =
+    # h/w, set at build; 0 means unset -> square)
+    aspect = jnp.where(pr[:, 9] > 0, pr[:, 9], 1.0)
+    zs = jnp.where(jnp.abs(dzl) > 1e-6, dzl, 1e-6)
+    s = dxl / (zs * tanh) * 0.5 + 0.5
+    t = dyl / (zs * tanh * aspect) * 0.5 + 0.5
+    inside = (dzl > 0) & (s >= 0) & (s <= 1) & (t >= 0) & (t <= 1)
+    theta = jnp.arccos(jnp.clip(dzl, -1.0, 1.0))
+    phi = jnp.arctan2(dyl, dxl)
+    phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
+    is_proj = kind == L_PROJECTION
+    u_ = jnp.where(is_proj, s, phi / (2.0 * jnp.pi))
+    v_ = jnp.where(is_proj, t, theta / jnp.pi)
+    K, Hh, Ww = lights.limg.shape[:3]
+    ix = jnp.clip((u_ * Ww).astype(jnp.int32), 0, Ww - 1)
+    iy = jnp.clip((v_ * Hh).astype(jnp.int32), 0, Hh - 1)
+    mval = lights.limg.reshape(K * Hh * Ww, 3)[
+        (jnp.clip(imgid, 0, K - 1) * Hh + iy) * Ww + ix]
+    has = imgid >= 0
+    return jnp.where((is_proj & has)[:, None],
+                     jnp.where(inside[:, None], mval, 0.0),
+                     jnp.where(((kind == L_GONIO) & has)[:, None], mval, 1.0))
+
+
 def sample_le(lights: LightTable, scene, light_idx, u1, u2,
               world_center, world_radius) -> LeSample:
     """Sample an emitted ray from per-lane light light_idx.
@@ -394,6 +405,11 @@ def sample_le(lights: LightTable, scene, light_idx, u1, u2,
     pdf_dir_point = jnp.where(is_spot, uniform_cone_pdf(cos_total), pdf_dir_pt)
     fall = _spot_falloff(dot(d_point, sdir), pr[:, 6], pr[:, 7])
     le_point = jnp.where(is_spot[:, None], Lv * fall[:, None], Lv)
+    # projection/gonio image-map modulation on EMITTED rays too (ADVICE r2:
+    # sample_li applied the map but sample_le did not, so BDPT/SPPM light
+    # subpaths disagreed with NEE on mapped lights)
+    if lights.limg.shape[1] > 1:
+        le_point = le_point * _map_modulation(lights, kind, pr, li_idx, d_point)
 
     # distant: disk of world radius perpendicular to direction
     w_l = pr[:, 3:6]          # direction TO light

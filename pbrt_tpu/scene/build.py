@@ -313,9 +313,15 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
                         os.path.join(cwd, mapname)), np.float32)
                     if img.ndim == 2:
                         img = np.repeat(img[:, :, None], 3, -1)
+
                     ys = np.linspace(0, img.shape[0] - 1, 64).astype(int)
                     xs = np.linspace(0, img.shape[1] - 1, 64).astype(int)
                     params[8] = len(light_images)
+                    # source aspect (projection.rs screen window from map
+                    # aspect): t axis of the frustum scales by h/w so
+                    # non-square maps keep their shape despite the square
+                    # 64x64 atlas tile
+                    params[9] = img.shape[0] / max(img.shape[1], 1)
                     light_images.append(img[ys][:, xs, :3])
                 except Exception as e:  # noqa: BLE001
                     print(f"warning: light map {mapname!r}: {e}")

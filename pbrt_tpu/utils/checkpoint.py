@@ -16,20 +16,29 @@ from pbrt_tpu.film import FilmState
 
 
 def save_checkpoint(path: str, film: FilmState, sample_index: int, meta: dict = None):
-    np.savez_compressed(path,
-                        rgb_sum=np.asarray(film.rgb_sum),
-                        weight_sum=np.asarray(film.weight_sum),
-                        splat=np.asarray(film.splat),
-                        sample_index=np.int64(sample_index),
-                        **{f"meta_{k}": v for k, v in (meta or {}).items()})
+    # atomic: write a sibling temp file, then os.replace — a kill mid-save
+    # (the exact scenario checkpointing exists for) must never leave a
+    # truncated .npz at the resume path
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f,
+                            rgb_sum=np.asarray(film.rgb_sum),
+                            weight_sum=np.asarray(film.weight_sum),
+                            splat=np.asarray(film.splat),
+                            sample_index=np.int64(sample_index),
+                            **{f"meta_{k}": v for k, v in (meta or {}).items()})
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str):
-    """-> (FilmState, sample_index, meta) or None if absent."""
+    """-> (FilmState, sample_index, meta) or None if absent/corrupt."""
     if not os.path.exists(path):
         return None
-    z = np.load(path)
-    film = FilmState(jnp.asarray(z["rgb_sum"]), jnp.asarray(z["weight_sum"]),
-                     jnp.asarray(z["splat"]))
-    meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
-    return film, int(z["sample_index"]), meta
+    try:
+        z = np.load(path)
+        film = FilmState(jnp.asarray(z["rgb_sum"]), jnp.asarray(z["weight_sum"]),
+                         jnp.asarray(z["splat"]))
+        meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
+        return film, int(z["sample_index"]), meta
+    except Exception:
+        return None   # corrupt checkpoint -> restart from scratch
