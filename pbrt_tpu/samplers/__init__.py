@@ -50,8 +50,11 @@ class SamplerSpec:
     xsamples: int = 4            # stratified strata in x
     ysamples: int = 4            # stratified strata in y
     jitter: bool = True
-    resolution: Tuple[int, int] = (0, 0)   # needed by halton
+    resolution: Tuple[int, int] = (0, 0)   # needed by halton/sobol
     dimensions: int = 1024
+    owen: bool = False   # sobol: opt-in Owen-scrambled padded variant
+                         # (default is the reference-matched global
+                         # enumeration, samplers/sobol_ref.py)
 
     def rounded_spp(self) -> int:
         """sobol-family samplers need power-of-two spp (reference rounds up
@@ -73,7 +76,8 @@ def make_sampler(kind: str, params: dict, resolution: Tuple[int, int], seed: int
                            bool(params.get("jitter", [True])[0]), resolution)
     if kind in ("random", "halton", "sobol", "02sequence", "maxmindist", "lowdiscrepancy"):
         k = "02sequence" if kind == "lowdiscrepancy" else kind
-        return SamplerSpec(k, spp, seed, resolution=resolution)
+        owen = bool(params.get("owenscramble", [False])[0])
+        return SamplerSpec(k, spp, seed, resolution=resolution, owen=owen)
     raise ValueError(f"unknown sampler kind {kind!r}")
 
 
@@ -154,6 +158,12 @@ def sample_dim(spec: SamplerSpec, px, py, sample_idx, dim: int):
     if spec.kind == "halton":
         return _halton_dim(spec, px, py, sample_idx, dim)
 
+    if spec.kind == "sobol" and not spec.owen:
+        # reference-matched global Sobol' enumeration (scramble = 0)
+        from pbrt_tpu.samplers import sobol_ref
+        return sobol_ref.sobol_dim(spec.resolution, spec.rounded_spp(),
+                                   px, py, sample_idx, dim)
+
     if spec.kind in ("sobol", "02sequence", "maxmindist"):
         return _sobol_dim(spec, pix, sample_idx, dim)
 
@@ -227,6 +237,12 @@ def _sobol_dim(spec, pix, sample_idx, dim):
     mask = spp - 1
     # per-pixel shuffle of the sample index (decorrelates pixels)
     shuffled = H.nested_uniform_shuffle(sample_idx.astype(U32), mask, pix) & U32(mask)
+    if spec.kind == "maxmindist" and dim in (0, 1):
+        # the reference's specialized C-matrix first 2D slot
+        # (low_discrepency.rs:235 C_MAX_MIN_DIST; maxmin.rs:89-97 — the
+        # per-pixel shuffle stands in for its rng shuffle)
+        from pbrt_tpu.samplers import sobol_ref
+        return sobol_ref.maxmin_first_slot(spp, shuffled, dim)
     if spec.kind == "sobol":
         d = dim % lds.N_SOBOL_DIMS
     else:
