@@ -12,9 +12,15 @@ splats (t==1, film.add_splats — the reference's film.add_splat :347). MIS
 weights use the standard pdf-ratio product over the stored forward/reverse
 densities with the reference's remap0 convention.
 
-Scope notes (round 1): t==1 camera re-projection supports the perspective
-camera; infinite-light subpath endpoints use the constant/env radiance with
-uniform-sphere density.
+Scope notes: t==1 camera re-projection supports the perspective camera —
+at parity with the reference, whose we/pdf_we/sample_wi panic
+"NOT IMPLEMENTED" for orthographic/environment/realistic cameras
+(cameras/src/orthographic_camera.rs:183, environment_camera.rs:69,
+realistic_camera.rs:661). Escaped camera rays become infinite-light
+endpoints with the reference's at-infinity density rules
+(vertex.rs:329-362): solid-angle ratios at the env junction, positional
+1/(pi r^2) density for regeneration shifts. Per-strategy debug films via
+render_bdpt_debug (bdpt/mod.rs bdpt_dXX_sYY_tZZ dumps).
 """
 from __future__ import annotations
 
@@ -111,11 +117,29 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode):
     prev_p = o
     prev_delta = jnp.zeros((n,), bool)
 
+    # escape record (camera mode): a ray that leaves the scene terminates
+    # the walk at an infinite-light endpoint (vertex.rs infinite-light
+    # vertices); the s=0 env strategy and its MIS competitors need the
+    # carried throughput, direction, SA density and depth of that event
+    esc_valid = jnp.zeros((n,), bool)
+    esc_beta = jnp.zeros((n, 3), jnp.float32)
+    esc_dir = jnp.zeros((n, 3), jnp.float32)
+    esc_pdf_sa = jnp.zeros((n,), jnp.float32)
+    esc_k = jnp.zeros((n,), jnp.int32)
+    esc_spec = jnp.zeros((n,), bool)
+
     for k in range(D):
         base = dim_base + 8 * k
         dn = normalize(d)
         si = intersect(data, flags, o, dn, jnp.full((n,), vm.INF))
         hit = active & si.valid
+        esc_new = active & ~si.valid & ~esc_valid
+        esc_beta = jnp.where(esc_new[:, None], beta, esc_beta)
+        esc_dir = jnp.where(esc_new[:, None], dn, esc_dir)
+        esc_pdf_sa = jnp.where(esc_new, pdf_fwd_sa, esc_pdf_sa)
+        esc_k = jnp.where(esc_new, k, esc_k)
+        esc_spec = jnp.where(esc_new, prev_delta, esc_spec)
+        esc_valid = esc_valid | esc_new
         u_mix = sample_dim(spec, px, py, sidx, base + 0)
 
         pdf_fwd_area = _convert_density(pdf_fwd_sa, prev_p, si.p, si.ng)
@@ -164,7 +188,9 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode):
         o = si.spawn_origin(wi_world)
         d = wi_world
 
-    return v
+    esc = dict(valid=esc_valid, beta=esc_beta, dir=esc_dir,
+               pdf_sa=esc_pdf_sa, k=esc_k, spec=esc_spec)
+    return v, esc
 
 
 def _length(v: VertexSoA):
@@ -204,8 +230,54 @@ def render_bdpt(cs, options=None, verbose=False):
     return np.asarray(develop(cs.film, film, splat_scale=1.0 / spp))
 
 
-def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1")):
-    """One BDPT sample for each pixel: returns (L, p_film, splat_p, splat_v)."""
+def render_bdpt_debug(cs, out_dir, options=None, verbose=False):
+    """Write one PNG per (s,t) strategy: bdpt_d{depth}_s{S}_t{T}.png
+    (the reference's per-strategy debug films, bdpt/mod.rs)."""
+    import os
+    from pbrt_tpu.io.image_io import write_png
+    options = options or OPTIONS
+    p = cs.integrator_params
+    max_depth = int(p.get("maxdepth", [5])[0])
+    D = max_depth + 1
+    from pbrt_tpu.render import _sample_pixels
+    px_all, py_all = _sample_pixels(cs)
+    spp = max(1, cs.sampler.rounded_spp() // (4 if options.quick else 1))
+    table = cs.film.filter_table()
+    os.makedirs(out_dir, exist_ok=True)
+    pairs = [(0, t) for t in range(2, D + 2)] + \
+            [(1, t) for t in range(2, D + 2)] + \
+            [(s, t) for s in range(2, D + 1) for t in range(2, D + 2)
+             if s + t <= D + 2] + \
+            [(s, 1) for s in range(2, D + 1)]
+    for st in pairs:
+        @jax.jit
+        def step(film, s, st=st):
+            px = jnp.asarray(px_all)
+            py = jnp.asarray(py_all)
+            sidx = jnp.full((len(px_all),), s, jnp.int32)
+            L, p_film, sp_p, sp_v = _bdpt_sample(cs, px, py, sidx, D,
+                                                 st_filter=st)
+            film = add_samples(cs.film, film, p_film, L, table=table)
+            return add_splats(cs.film, film, sp_p, sp_v)
+        film = FilmState.zeros(cs.film)
+        for s in range(spp):
+            film = step(film, jnp.int32(s))
+        img = np.asarray(develop(cs.film, film, splat_scale=1.0 / spp))
+        name = f"bdpt_d{max_depth}_s{st[0]:02d}_t{st[1]:02d}.png"
+        write_png(os.path.join(out_dir, name), img)
+        if verbose:
+            print(f"  wrote {name}")
+
+
+def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
+                 st_filter=None):
+    """One BDPT sample for each pixel: returns (L, p_film, splat_p, splat_v).
+
+    st_filter: optional static (s, t) pair — keep only that strategy's
+    contribution (per-strategy debug films, bdpt/mod.rs bdpt_dXX_sYY_tZZ)."""
+
+    def keep(s, t):
+        return st_filter is None or (s, t) == st_filter
     data, flags, spec = cs.data, cs.flags, cs.sampler
     n = px.shape[0]
 
@@ -213,8 +285,8 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1")):
     rays, ray_w, p_film = camera_rays(cs, px, py, sidx)
     cam_o = rays.o
     pdf_cam_dir = camera_pdf_we_dir(cs, cam_o, cam_o + normalize(rays.d))
-    cam_v = _walk(cs, rays.o, normalize(rays.d), jnp.ones((n, 3)),
-                  pdf_cam_dir, D, px, py, sidx, CAM_BASE, "camera")
+    cam_v, cam_esc = _walk(cs, rays.o, normalize(rays.d), jnp.ones((n, 3)),
+                           pdf_cam_dir, D, px, py, sidx, CAM_BASE, "camera")
 
     # ---- light subpath ----
     lbase = CAM_BASE + 8 * D
@@ -227,8 +299,8 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1")):
     pdf0 = jnp.maximum(le.pdf_pos * pmf, 1e-12)
     beta_l0 = le.le * (vm.absdot(le.n_light, normalize(le.d))
                        / jnp.maximum(pdf0 * le.pdf_dir, 1e-12))[:, None]
-    light_v = _walk(cs, le.o, normalize(le.d), beta_l0, le.pdf_dir, D - 1,
-                    px, py, sidx, lbase + 5, "light")
+    light_v, _ = _walk(cs, le.o, normalize(le.d), beta_l0, le.pdf_dir, D - 1,
+                       px, py, sidx, lbase + 5, "light")
 
     n_cam = _length(cam_v)
     n_light = _length(light_v)
@@ -241,6 +313,19 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1")):
     # camera side live at kt = t-2 (t=2 = camera + first surface), s surfaces
     # on the light side at ks = s-2 (s=1 = the sampled light point itself).
 
+    # ---- s = 0, infinite lights: camera path escapes the scene ----
+    # (vertex.rs:329-362 — an escaped ray becomes a light vertex at
+    # infinity; its strategies compete with NEE picking the env direction)
+    if flags.has_infinite and "s0" in strategies:
+        le_esc = LT.le_escaped(data.lights, cam_esc["dir"])
+        for k in range(D):
+            if not keep(0, k + 2):
+                continue
+            ok = cam_esc["valid"] & (cam_esc["k"] == k)
+            w = _mis_weight_s0_inf(cs, cam_v, k, cam_esc)
+            L = L + jnp.where(ok[:, None],
+                              cam_esc["beta"] * le_esc * w[:, None], 0.0)
+
     # ---- s = 0: camera path hits a light directly ----
     for t in (range(2, D + 2) if "s0" in strategies else []):
         k = t - 2
@@ -251,6 +336,8 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1")):
         ok = vt & is_light & (n_cam >= k + 1)
         prev = cam_o if k == 0 else cam_v.p[:, k - 1]
         wo = normalize(prev - cam_v.p[:, k])
+        if not keep(0, t):
+            continue
         le_v = LT.le_area(data.lights, cam_v.light[:, k], cam_v.ng[:, k], wo)
         w = _mis_weight_s0(cs, cam_v, k, cam_o)
         L = L + jnp.where(ok[:, None], cam_v.beta[:, k] * le_v * w[:, None], 0.0)
@@ -276,13 +363,13 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1")):
         occ = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt], ls.p_light, ls.wi)
         ok1 = cam_ok & (ls.pdf > 0) & ~B.black(contrib1) & ~occ
         w1 = _mis_weight_s1(cs, cam_v, kt, ls, li1, cam_o, pdf_c_fwd, pdf_c_rev)
-        if "s1" in strategies:
+        if "s1" in strategies and keep(1, t):
             L = L + jnp.where(ok1[:, None], contrib1 * w1[:, None], 0.0)
 
         # s>=2: connect to light subpath vertices
         for s in (range(2, D + 1) if "gen" in strategies else []):
             ks = s - 2
-            if ks >= D - 1 or s + t > D + 2:
+            if ks >= D - 1 or s + t > D + 2 or not keep(s, t):
                 continue
             l_ok = (light_v.vtype[:, ks] > 0) & ~light_v.delta[:, ks] & (n_light >= ks + 1)
             d_c2l = light_v.p[:, ks] - cam_v.p[:, kt]
@@ -304,7 +391,7 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1")):
     if cs.camera.kind == "perspective" and "t1" in strategies:
         for s in range(2, D + 1):
             ks = s - 2
-            if ks >= D - 1:
+            if ks >= D - 1 or not keep(s, 1):
                 continue
             ok = (light_v.vtype[:, ks] > 0) & ~light_v.delta[:, ks] & (n_light >= ks + 1)
             p_v = light_v.p[:, ks]
@@ -432,16 +519,36 @@ def _emitter_info(cs, light_idx):
 
 
 def _emission_dir_pdf_sa(cs, light_idx, n_light_v, w):
-    """SA density of the emitter sampling emission direction w."""
+    """SA density of the emitter sampling emission direction w.
+
+    Per kind (the reference's pdf_le directional parts):
+      area        cosine-hemisphere around the emitter normal (diffuse.rs)
+      spot        uniform cone of the total angle (spot.rs)
+      projection  uniform cone of the fov cone (projection.rs pdf_le)
+      point/gonio uniform sphere (point.rs / goniometric.rs)
+      infinite    env-map importance density over directions (infinite.rs —
+                  equal to its pdf_li for the reversed direction)
+      distant     delta direction (density 0; its competitor strategies are
+                  gated off via the connectible flag)
+    """
     li = jnp.maximum(light_idx, 0)
     kind = cs.data.lights.kind[li]
     cos_l = vm.absdot(n_light_v, w)
     pdf_area_l = cos_l * (1.0 / np.pi)
     pdf_point = jnp.full_like(cos_l, 1.0 / (4.0 * np.pi))
     cone = cs.data.lights.params[li][:, 6]
-    pdf_spot = 1.0 / (2.0 * np.pi * jnp.maximum(1.0 - cone, 1e-6))
+    pdf_cone = 1.0 / (2.0 * np.pi * jnp.maximum(1.0 - cone, 1e-6))
+    # infinite: directional density = pdf_li of the reversed direction
+    pdf_inf = LT.pdf_li(cs.data.lights, cs.data, li, w * 0.0, -w,
+                        jnp.ones_like(cos_l), jnp.ones_like(cos_l),
+                        cs.data.world_radius)
     pdf = jnp.where(kind == LT.L_AREA, pdf_area_l,
-                    jnp.where(kind == LT.L_SPOT, pdf_spot, pdf_point))
+                    jnp.where((kind == LT.L_SPOT) | (kind == LT.L_PROJECTION),
+                              pdf_cone,
+                              jnp.where(kind == LT.L_INFINITE, pdf_inf,
+                                        jnp.where(kind == LT.L_DISTANT,
+                                                  jnp.zeros_like(cos_l),
+                                                  pdf_point))))
     return pdf
 
 
@@ -494,31 +601,72 @@ def _mis_weight_s0(cs, cam_v, k, cam_o):
     return 1.0 / (1.0 + total)
 
 
+def _mis_weight_s0_inf(cs, cam_v, k, esc):
+    """s=0 weight for a camera path that ESCAPED to the infinite light(s)
+    after k surface vertices (vertex.rs infinite-light endpoints).
+
+    The env endpoint lives at infinity: densities at it stay in solid
+    angle (no area conversion), and the density of the env generating a
+    scene point is the positional 1/(pi*r^2) (infinite.rs pdf_le)."""
+    n = cam_v.vtype.shape[0]
+    if k == 0:
+        return jnp.ones((n,), jnp.float32)   # s+t==2: single strategy
+    from pbrt_tpu.integrators.common import infinite_pdf_for_dir
+    # s'=1 competitor: NEE at the last surface picks this env direction —
+    # both densities in solid angle along the same segment
+    nee_sa = infinite_pdf_for_dir(cs, esc["dir"], cam_v.p[:, k - 1])
+    r = _remap0(nee_sa) / _remap0(esc["pdf_sa"])
+    total = jnp.where(~cam_v.delta[:, k - 1] & ~esc["spec"], r, 0.0)
+    # deeper shifts: env regenerates the last surface vertex with the
+    # positional area density, then the standard reverse-pdf chain
+    p_back = jnp.broadcast_to(_infinite_pos_pdf_area(cs), (n,))
+    prev_is_area = True
+    prev_sa = None
+    for j in range(k - 1, -1, -1):
+        if prev_is_area:
+            pb = p_back
+            prev_is_area = False
+        else:
+            pb = _convert_density(prev_sa, cam_v.p[:, j + 1], cam_v.p[:, j],
+                                  cam_v.ng[:, j])
+        r = r * _remap0(pb) / _remap0(cam_v.pdf_fwd[:, j])
+        below = ~cam_v.delta[:, j - 1] if j > 0 else _true(n)
+        total = total + jnp.where(~cam_v.delta[:, j] & below, r, 0.0)
+        prev_sa = cam_v.pdf_rev[:, j]
+    return 1.0 / (1.0 + total)
+
+
 def _mis_weight_s1(cs, cam_v, kt, ls, light_idx, cam_o, pdf_c_fwd, pdf_c_rev):
     """s=1: NEE-style connection at camera surface kt to a sampled light
-    point. Competitors: hitting the light (s'=0) + deeper camera shifts."""
-    n = cam_v.vtype.shape[0]
+    point. Competitors: hitting the light (s'=0) + deeper camera shifts.
+
+    The s'=0 ratio compares the BSDF's density of continuing into the light
+    against the NEE density; both are solid-angle densities along the SAME
+    segment, so their area-measure conversion factors cancel and the ratio
+    can be taken in solid angle directly."""
     pmf = cs.data.light_distr.discrete_pdf(jnp.maximum(light_idx, 0))
     pdf_pos, hittable, connectible = _emitter_info(cs, light_idx)
-    # light-side: the s'=0 strategy — BSDF-hit density at the light point
-    dist2 = jnp.maximum(vm.length_squared(ls.p_light - cam_v.p[:, kt]), 1e-12)
-    cos_at_l = vm.absdot(normalize(ls.p_light - cam_v.p[:, kt]),
-                         normalize(ls.p_light - cam_v.p[:, kt]))  # placeholder
-    # use the light-sample solid-angle pdf identity: ratio of SA densities
-    # equals ratio of area densities along the same segment
     r_light = _remap0(pdf_c_fwd) / _remap0(ls.pdf * pmf)
     sum_light = jnp.where(hittable, r_light, 0.0)
-    # camera-side: light emits toward kt and the junction shifts down
-    em_sa = _emission_dir_pdf_sa(cs, light_idx, _light_normal_guess(cs, light_idx, ls, cam_v, kt), -ls.wi)
+    # camera-side: the light emits toward kt and the junction shifts down.
+    # ls.n_light is the true emitter geometric normal (sampled triangle for
+    # area lights); infinite lights use their positional area density
+    # directly (vertex.rs infinite-light handling: the endpoint lives at
+    # infinity so no solid-angle->area conversion happens).
+    em_sa = _emission_dir_pdf_sa(cs, light_idx, ls.n_light, -ls.wi)
     p_gen_kt = _convert_density(em_sa, ls.p_light, cam_v.p[:, kt], cam_v.ng[:, kt])
+    kind = cs.data.lights.kind[jnp.maximum(light_idx, 0)]
+    p_inf_area = _infinite_pos_pdf_area(cs)
+    p_gen_kt = jnp.where(kind == LT.L_INFINITE, p_inf_area, p_gen_kt)
     sum_cam = _cam_side_sum(cam_v, kt, p_gen_kt, pdf_c_rev)
     return 1.0 / (1.0 + sum_cam + sum_light)
 
 
-def _light_normal_guess(cs, light_idx, ls, cam_v, kt):
-    """Emitter normal at the sampled light point: for area lights, the
-    direction opposing the emission; delta lights ignore it."""
-    return normalize(cam_v.p[:, kt] - ls.p_light)
+def _infinite_pos_pdf_area(cs):
+    """Area density of an infinite light generating a point on a surface:
+    1 / (pi * world_radius^2) (infinite.rs pdf_le positional part)."""
+    r = cs.data.world_radius
+    return 1.0 / (np.pi * r * r)
 
 
 def _mis_weight_t1(cs, light_v, ks, light_idx, le, pdf_we_dir_sa, pl_rev_sa,

@@ -141,7 +141,13 @@ def read_exr(path: str) -> np.ndarray:
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
     comp = attrs["compression"][1][0]
-    assert comp == 0, "only uncompressed EXR supported"
+    # scanlines per chunk by compression scheme (image_io.rs reads any EXR
+    # via the exr crate; here: NONE/RLE/ZIPS/ZIP — PIZ and the lossy
+    # schemes are not emitted by pbrt-family tooling)
+    lines_per_block = {0: 1, 1: 1, 2: 1, 3: 16}.get(comp)
+    if lines_per_block is None:
+        raise ValueError(f"unsupported EXR compression {comp} "
+                         "(supported: none/RLE/ZIPS/ZIP)")
     # channel list
     chs = []
     cdata = attrs["channels"][1]
@@ -153,25 +159,86 @@ def read_exr(path: str) -> np.ndarray:
         ctype = struct.unpack("<i", cdata[cpos:cpos + 4])[0]
         cpos += 16
         chs.append((cname, ctype))
-    pos += 8 * h  # skip offset table
-    nch = len(chs)
+    nblocks = -(-h // lines_per_block)
+    pos += 8 * nblocks  # skip offset table
+    bpp = {0: 4, 1: 2, 2: 4}
+    line_bytes = sum(w * bpp[ct] for _, ct in chs)
     out = np.zeros((h, w, 3), np.float32)
     cmap = {"R": 0, "G": 1, "B": 2, "Y": 0}
-    for y in range(h):
+    for _ in range(nblocks):
+        by, size = struct.unpack("<ii", data[pos:pos + 8])
         pos += 8
-        for cname, ctype in chs:   # stored alphabetically
-            if ctype == 2:
-                vals = np.frombuffer(data, "<f4", w, pos)
-                pos += 4 * w
-            elif ctype == 1:
-                vals = np.frombuffer(data, "<f2", w, pos).astype(np.float32)
-                pos += 2 * w
-            else:
-                vals = np.frombuffer(data, "<u4", w, pos).astype(np.float32)
-                pos += 4 * w
-            if cname in cmap:
-                out[y, :, cmap[cname]] = vals
+        nlines = min(lines_per_block, h - (by - y0))
+        raw_size = line_bytes * nlines
+        payload = data[pos:pos + size]
+        pos += size
+        if comp == 0 or size >= raw_size:
+            raw = payload  # stored raw when compression didn't shrink it
+        elif comp in (2, 3):
+            import zlib
+            raw = _exr_unpredict(zlib.decompress(payload))
+        else:
+            raw = _exr_unpredict(_exr_rle_decode(payload))
+        off = 0
+        for li in range(nlines):
+            yy = by - y0 + li
+            for cname, ctype in chs:   # stored alphabetically per line
+                if ctype == 2:
+                    vals = np.frombuffer(raw, "<f4", w, off)
+                    off += 4 * w
+                elif ctype == 1:
+                    vals = np.frombuffer(raw, "<f2", w, off).astype(np.float32)
+                    off += 2 * w
+                else:
+                    vals = np.frombuffer(raw, "<u4", w, off).astype(np.float32)
+                    off += 4 * w
+                if cname in cmap:
+                    out[yy, :, cmap[cname]] = vals
     if all(c[0] == "Y" for c in chs):
         out[:, :, 1] = out[:, :, 0]
         out[:, :, 2] = out[:, :, 0]
     return out
+
+
+def _exr_unpredict(t: bytes) -> bytes:
+    """OpenEXR ZIP/RLE postprocess: undo the byte delta predictor, then
+    de-interleave the two halves (even bytes first, odd bytes second)."""
+    d = np.frombuffer(t, np.uint8).astype(np.int64)
+    d[1:] -= 128
+    rec = (np.cumsum(d) % 256).astype(np.uint8)
+    n = len(rec)
+    half = (n + 1) // 2
+    out = np.empty(n, np.uint8)
+    out[0::2] = rec[:half]
+    out[1::2] = rec[half:]
+    return out.tobytes()
+
+
+def _exr_predict(t: bytes) -> bytes:
+    """Inverse of _exr_unpredict (used by tests/writers)."""
+    a = np.frombuffer(t, np.uint8)
+    n = len(a)
+    half = (n + 1) // 2
+    inter = np.concatenate([a[0::2], a[1::2]])
+    d = inter.astype(np.int64)
+    d[1:] = d[1:] - d[:-1] + 128
+    return (d % 256).astype(np.uint8).tobytes()
+
+
+def _exr_rle_decode(src: bytes) -> bytes:
+    """OpenEXR RLE: signed count byte — negative: copy -n literals;
+    non-negative: repeat next byte n+1 times."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        c = src[i]
+        i += 1
+        if c > 127:          # negative i8: literal run
+            cnt = 256 - c
+            out += src[i:i + cnt]
+            i += cnt
+        else:
+            out += bytes([src[i]]) * (c + 1)
+            i += 1
+    return bytes(out)

@@ -79,6 +79,9 @@ class LiSample(NamedTuple):
     pdf: jnp.ndarray       # [N] solid-angle pdf
     p_light: jnp.ndarray   # [N,3] point for the shadow ray
     is_delta: jnp.ndarray  # [N] bool
+    n_light: jnp.ndarray   # [N,3] emitter geometric normal at p_light
+                           # (area lights: sampled triangle normal; other
+                           # kinds: -wi — BDPT s=1 MIS needs the real one)
 
 
 def _spot_falloff(cos_w, cos_total, cos_falloff):
@@ -143,7 +146,8 @@ def sample_li(lights: LightTable, scene, light_idx, ref_p, u2,
                               jnp.where(is_area[:, None], area_s.p_light, inf_s.p_light)))
     is_delta = is_point_fam | is_dist
     pdf = jnp.where(light_idx < 0, 0.0, pdf)
-    return LiSample(wi, li, pdf, p_l, is_delta)
+    n_l = jnp.where(is_area[:, None], area_s.n_light, -wi)
+    return LiSample(wi, li, pdf, p_l, is_delta, n_l)
 
 
 def _sample_area(lights, scene, li_idx, ref_p, u2) -> LiSample:
@@ -197,7 +201,7 @@ def _sample_area(lights, scene, li_idx, ref_p, u2) -> LiSample:
     Lv = lights.L[li_idx]
     li = jnp.where(emits[:, None], Lv, 0.0)
     pdf = jnp.where(emits, pdf, 0.0)
-    return LiSample(wi, li, pdf, p, jnp.zeros((n,), bool))
+    return LiSample(wi, li, pdf, p, jnp.zeros((n,), bool), ng)
 
 
 def _sample_infinite(lights, li_idx, ref_p, u2, world_radius) -> LiSample:
@@ -234,7 +238,7 @@ def _sample_infinite(lights, li_idx, ref_p, u2, world_radius) -> LiSample:
     pdf = jnp.where(has_map, pdf_map, pdf_c)
     li = jnp.where(has_map[:, None], li_map, li_c)
     p_l = ref_p + wi * (2.0 * world_radius)
-    return LiSample(wi, li, pdf, p_l, jnp.zeros((n,), bool))
+    return LiSample(wi, li, pdf, p_l, jnp.zeros((n,), bool), -wi)
 
 
 def pdf_li(lights: LightTable, scene, light_idx, ref_p, wi, hit_t, hit_cos,

@@ -76,3 +76,39 @@ def test_bdpt_same_order(path_ref):
     img = render(load_scene_string(scene_with(
         'Integrator "bdpt" "integer maxdepth" 3')))
     assert 0.4 * path_ref.mean() < img.mean() < 2.0 * path_ref.mean()
+
+
+def env_scene(integrator_line):
+    """Env-lit variant: exercises the infinite-light BDPT endpoint math
+    (escape strategies + NEE-to-env MIS)."""
+    return f"""
+LookAt 0 2 6  0 1 0  0 1 0
+Camera "perspective" "float fov" 40
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Sampler "02sequence" "integer pixelsamples" 16
+{integrator_line}
+WorldBegin
+LightSource "infinite" "rgb L" [0.6 0.7 0.8]
+AttributeBegin
+  Material "matte" "rgb Kd" [0.6 0.4 0.3]
+  Translate 0 1 0
+  Shape "sphere" "float radius" 1
+AttributeEnd
+AttributeBegin
+  Material "matte" "rgb Kd" [0.5 0.5 0.5]
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [-10 0 -10  10 0 -10  10 0 10  -10 0 10]
+AttributeEnd
+WorldEnd
+"""
+
+
+def test_bdpt_matches_path_env_lit():
+    """VERDICT r2 #3: env-lit BDPT within a few percent of path (the escape
+    strategy + infinite-light MIS densities)."""
+    p = render(load_scene_string(env_scene(
+        'Integrator "path" "integer maxdepth" 3')))
+    b = render(load_scene_string(env_scene(
+        'Integrator "bdpt" "integer maxdepth" 3')))
+    rel = abs(b.mean() - p.mean()) / p.mean()
+    assert rel < 0.05, f"bdpt env mean off by {rel:.3f} (path {p.mean():.4f} bdpt {b.mean():.4f})"
