@@ -91,14 +91,24 @@ def _convert_density(pdf_sa, from_p, to_p, to_ng):
     return pdf_sa * vm.absdot(to_ng, wn) / d2
 
 
-def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode):
+def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode,
+          sampler_fn=None):
     """Random walk storing a VertexSoA of up to max_depth vertices.
 
     mode: "camera" | "light" (radiance vs importance transport; the only
     transport-mode asymmetry we carry is the shading-normal correction).
+    sampler_fn: optional dim -> [N] override (MLT drives the walk from a
+    primary-sample-space vector; the dim ranges ARE the reference's
+    camera/light sample streams, mlt/mod.rs:109-147).
     Returns VertexSoA [N, max_depth].
     """
     data, flags, spec = cs.data, cs.flags, cs.sampler
+    if sampler_fn is None:
+        dim1 = lambda dim: sample_dim(spec, px, py, sidx, dim)
+        dim2 = lambda dim: sample_2d(spec, px, py, sidx, dim)
+    else:
+        dim1 = sampler_fn
+        dim2 = lambda dim: jnp.stack([sampler_fn(dim), sampler_fn(dim + 1)], -1)
     n = o.shape[0]
     D = max_depth
 
@@ -140,7 +150,7 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode):
         esc_k = jnp.where(esc_new, k, esc_k)
         esc_spec = jnp.where(esc_new, prev_delta, esc_spec)
         esc_valid = esc_valid | esc_new
-        u_mix = sample_dim(spec, px, py, sidx, base + 0)
+        u_mix = dim1(base + 0)
 
         pdf_fwd_area = _convert_density(pdf_fwd_sa, prev_p, si.p, si.ng)
         v = v._replace(
@@ -160,8 +170,8 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode):
 
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
                               u_mix, flags.has_tex_slot)
-        u_lobe = sample_dim(spec, px, py, sidx, base + 4)
-        u_dir = sample_2d(spec, px, py, sidx, base + 5)
+        u_lobe = dim1(base + 4)
+        u_dir = dim2(base + 5)
         wo_local = si.world_to_local(si.wo)
         bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir, data.fourier if flags.has_fourier else None)
         wi_world = si.local_to_world(bs.wi)
@@ -270,43 +280,74 @@ def render_bdpt_debug(cs, out_dir, options=None, verbose=False):
 
 
 def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
-                 st_filter=None):
+                 st_filter=None, sampler_fn=None, p_film_override=None,
+                 st_select=None):
     """One BDPT sample for each pixel: returns (L, p_film, splat_p, splat_v).
 
     st_filter: optional static (s, t) pair — keep only that strategy's
-    contribution (per-strategy debug films, bdpt/mod.rs bdpt_dXX_sYY_tZZ)."""
+    contribution (per-strategy debug films, bdpt/mod.rs bdpt_dXX_sYY_tZZ).
+    sampler_fn / p_film_override: drive everything from a primary-sample-
+    space vector (the MLT-over-BDPT target, mlt/mod.rs l()).
+    st_select: optional (s_lane [N], t_lane [N]) — each lane contributes
+    ONLY its own (s,t) strategy, UNWEIGHTED by strategy count (the MLT
+    target evaluates one strategy per mutation; the caller multiplies by
+    n_strategies). Returns (L_t2 [N,3] pixel-sample part, p_film,
+    splat_p, splat_v) where t=1 contributions ride the splat outputs with
+    one row per lane."""
 
     def keep(s, t):
         return st_filter is None or (s, t) == st_filter
+
+    def st_mask(s, t, n):
+        if st_select is None:
+            return jnp.ones((n,), bool)
+        return (st_select[0] == s) & (st_select[1] == t)
     data, flags, spec = cs.data, cs.flags, cs.sampler
     n = px.shape[0]
 
     # ---- camera subpath ----
-    rays, ray_w, p_film = camera_rays(cs, px, py, sidx)
+    if p_film_override is None:
+        rays, ray_w, p_film = camera_rays(cs, px, py, sidx)
+    else:
+        from pbrt_tpu.cameras import CameraSamples, generate_rays
+        p_film = p_film_override
+        u_lens = jnp.stack([sampler_fn(2), sampler_fn(3)], -1)
+        u_time = sampler_fn(4)
+        rays, ray_w = generate_rays(cs.camera,
+                                    CameraSamples(p_film, u_lens, u_time))
     cam_o = rays.o
     pdf_cam_dir = camera_pdf_we_dir(cs, cam_o, cam_o + normalize(rays.d))
     cam_v, cam_esc = _walk(cs, rays.o, normalize(rays.d), jnp.ones((n, 3)),
-                           pdf_cam_dir, D, px, py, sidx, CAM_BASE, "camera")
+                           pdf_cam_dir, D, px, py, sidx, CAM_BASE, "camera",
+                           sampler_fn=sampler_fn)
+
+    if sampler_fn is None:
+        dim1 = lambda dim: sample_dim(spec, px, py, sidx, dim)
+        dim2 = lambda dim: sample_2d(spec, px, py, sidx, dim)
+    else:
+        dim1 = sampler_fn
+        dim2 = lambda dim: jnp.stack([sampler_fn(dim), sampler_fn(dim + 1)], -1)
 
     # ---- light subpath ----
     lbase = CAM_BASE + 8 * D
-    u_sel = sample_dim(spec, px, py, sidx, lbase + 0)
+    u_sel = dim1(lbase + 0)
     light_idx, pmf, _ = data.light_distr.sample_discrete(u_sel)
-    u_pos = sample_2d(spec, px, py, sidx, lbase + 1)
-    u_dir = sample_2d(spec, px, py, sidx, lbase + 3)
+    u_pos = dim2(lbase + 1)
+    u_dir = dim2(lbase + 3)
     le = LT.sample_le(data.lights, data, light_idx, u_pos, u_dir,
                       data.world_center, data.world_radius)
     pdf0 = jnp.maximum(le.pdf_pos * pmf, 1e-12)
     beta_l0 = le.le * (vm.absdot(le.n_light, normalize(le.d))
                        / jnp.maximum(pdf0 * le.pdf_dir, 1e-12))[:, None]
     light_v, _ = _walk(cs, le.o, normalize(le.d), beta_l0, le.pdf_dir, D - 1,
-                       px, py, sidx, lbase + 5, "light")
+                       px, py, sidx, lbase + 5, "light", sampler_fn=sampler_fn)
 
     n_cam = _length(cam_v)
     n_light = _length(light_v)
 
     L = jnp.zeros((n, 3), jnp.float32)
     splat_parts = []
+    sel_raster = p_film   # select mode: t=1 lanes override with their raster
 
     # Index convention: cam_v/light_v store only SURFACE vertices. Strategy
     # (s, t) in the reference counts endpoint vertices too: t surfaces on the
@@ -321,7 +362,7 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
         for k in range(D):
             if not keep(0, k + 2):
                 continue
-            ok = cam_esc["valid"] & (cam_esc["k"] == k)
+            ok = cam_esc["valid"] & (cam_esc["k"] == k) & st_mask(0, k + 2, n)
             w = _mis_weight_s0_inf(cs, cam_v, k, cam_esc)
             L = L + jnp.where(ok[:, None],
                               cam_esc["beta"] * le_esc * w[:, None], 0.0)
@@ -333,7 +374,7 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
             break
         vt = cam_v.vtype[:, k] > 0
         is_light = cam_v.light[:, k] >= 0
-        ok = vt & is_light & (n_cam >= k + 1)
+        ok = vt & is_light & (n_cam >= k + 1) & st_mask(0, t, n)
         prev = cam_o if k == 0 else cam_v.p[:, k - 1]
         wo = normalize(prev - cam_v.p[:, k])
         if not keep(0, t):
@@ -351,8 +392,8 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
 
         # s=1: sample a light point (like NEE) and connect
         sbase = CAM_BASE + 8 * D + 5 + 8 * (D - 1) + 4 * t
-        u_l = sample_2d(spec, px, py, sidx, sbase)
-        u_sel1 = sample_dim(spec, px, py, sidx, sbase + 2)
+        u_l = dim2(sbase)
+        u_sel1 = dim1(sbase + 2)
         li1, pmf1, _ = data.light_distr.sample_discrete(u_sel1)
         ls = LT.sample_li(data.lights, data, li1, cam_v.p[:, kt], u_l,
                           data.world_center, data.world_radius)
@@ -361,7 +402,7 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
         g_cos = vm.absdot(ls.wi, cam_v.ns[:, kt])
         contrib1 = cam_v.beta[:, kt] * f_c * ls.li * (g_cos / jnp.maximum(ls.pdf * pmf1, 1e-12))[:, None]
         occ = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt], ls.p_light, ls.wi)
-        ok1 = cam_ok & (ls.pdf > 0) & ~B.black(contrib1) & ~occ
+        ok1 = cam_ok & (ls.pdf > 0) & ~B.black(contrib1) & ~occ & st_mask(1, t, n)
         w1 = _mis_weight_s1(cs, cam_v, kt, ls, li1, cam_o, pdf_c_fwd, pdf_c_rev)
         if "s1" in strategies and keep(1, t):
             L = L + jnp.where(ok1[:, None], contrib1 * w1[:, None], 0.0)
@@ -381,7 +422,7 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
             contrib = cam_v.beta[:, kt] * f_cam * f_li * light_v.beta[:, ks] * G[:, None]
             occ2 = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt],
                              light_v.p[:, ks], wi)
-            ok2 = cam_ok & l_ok & ~B.black(contrib) & ~occ2
+            ok2 = cam_ok & l_ok & ~B.black(contrib) & ~occ2 & st_mask(s, t, n)
             w2 = _mis_weight_general(cs, cam_v, light_v, kt, ks, light_idx,
                                      le, pc_f, pc_r, pl_f, pl_r)
             L = L + jnp.where(ok2[:, None], contrib * w2[:, None], 0.0)
@@ -407,13 +448,20 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
             G_l = vm.absdot(wi, light_v.ns[:, ks])
             contrib = light_v.beta[:, ks] * f_l * (beta_cam * G_l)[:, None]
             occ3 = _occluded(cs, p_v, light_v.ng[:, ks], cam_o, wi)
-            okc = ok & on_film & ~B.black(contrib) & ~occ3
+            okc = ok & on_film & ~B.black(contrib) & ~occ3 & st_mask(s, 1, n)
             we_dir = camera_pdf_we_dir(cs, cam_o, p_v)
             wmis = _mis_weight_t1(cs, light_v, ks, light_idx, le, we_dir,
                                   pl_r1, cam_o)
-            splat_parts.append((jnp.where(okc[:, None], p_raster, 0.0),
-                                jnp.where(okc[:, None], contrib * wmis[:, None], 0.0)))
+            if st_select is not None:
+                L = L + jnp.where(okc[:, None], contrib * wmis[:, None], 0.0)
+                sel_raster = jnp.where(okc[:, None], p_raster, sel_raster)
+            else:
+                splat_parts.append((jnp.where(okc[:, None], p_raster, 0.0),
+                                    jnp.where(okc[:, None],
+                                              contrib * wmis[:, None], 0.0)))
 
+    if st_select is not None:
+        return L, sel_raster, None, None
     if splat_parts:
         splat_p = jnp.concatenate([sp for sp, _ in splat_parts])
         splat_v = jnp.concatenate([sv for _, sv in splat_parts])

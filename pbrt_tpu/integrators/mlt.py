@@ -9,11 +9,18 @@ mutated per-chain sampler state. Here THOUSANDS of chains advance in
 lockstep (SURVEY P3: independent Markov chains = the embarrassingly
 parallel axis): chain state is a dense [n_chains, U] primary-sample matrix,
 mutations are whole-matrix ops (large-step refresh or per-dim Gaussian
-perturbation — the reference's exact mutation kernel, mlt_sampler.rs), and
-the target is the PATH estimator driven through primary-sample space
-(li_path(sampler_fn=...)). The reference's 3-stream BDPT target upgrades in
-round 2; the Kelemen-style path-space target here is the same MCMC machinery
-with a simpler target.
+perturbation — the reference's exact mutation kernel, mlt_sampler.rs).
+
+The DEFAULT target is the reference's: BDPT path space with one (s,t)
+strategy per mutation, the strategy index drawn from the connection stream
+and the result multiplied by n_strategies (mlt/mod.rs l() :101-160). The
+PSS vector's dim ranges are exactly the reference's three sample streams —
+[0, 5+8D) camera stream, [.., +5+8(D-1)) light stream, the rest connection
+stream — because the BDPT dim layout already partitions them statically.
+A chain explores one path DEPTH, assigned round-robin from its bootstrap
+index like the reference (mod.rs :199, depth = i % (max_depth+1)).
+"string target" "path" selects the simpler Kelemen-style unidirectional
+target instead.
 """
 from __future__ import annotations
 
@@ -37,6 +44,47 @@ P_LARGE = 0.3
 
 def _n_dims(max_depth):
     return CAMERA_DIMS + BOUNCE_DIMS * (max_depth + 1)
+
+
+def _n_dims_bdpt(max_depth):
+    """Total PSS dims for the BDPT target: camera stream + light stream +
+    connection stream + 1 strategy-selection dim (the last column)."""
+    D = max_depth + 1
+    return 5 + 8 * D + 5 + 8 * (D - 1) + 4 * (D + 2) + 1
+
+
+def _eval_bdpt_target(cs, u, max_depth, depth_lane):
+    """L_{s,t}(u): one BDPT strategy per lane, s drawn from the last PSS dim
+    among the lane's depth+2 strategies, scaled by n_strategies
+    (mlt/mod.rs l())."""
+    n = u.shape[0]
+    D = max_depth + 1
+    x0, x1, y0, y1 = cs.film.sample_bounds
+    fx = x0 + u[:, 0] * (x1 - x0)
+    fy = y0 + u[:, 1] * (y1 - y0)
+    p_film = jnp.stack([fx, fy], -1)
+    px = jnp.clip(fx.astype(jnp.int32), x0, x1 - 1)
+    py = jnp.clip(fy.astype(jnp.int32), y0, y1 - 1)
+
+    def sampler_fn(dim):
+        return u[:, min(dim, u.shape[1] - 2)]
+
+    n_str = jnp.where(depth_lane == 0, 1, depth_lane + 2)
+    u_strat = u[:, -1]
+    s_lane = jnp.where(
+        depth_lane == 0, 0,
+        jnp.minimum((u_strat * n_str.astype(jnp.float32)).astype(jnp.int32),
+                    n_str - 1))
+    t_lane = jnp.where(depth_lane == 0, 2, depth_lane + 2 - s_lane)
+
+    from pbrt_tpu.integrators.bdpt import _bdpt_sample
+    L, raster, _, _ = _bdpt_sample(cs, px, py, jnp.zeros(n, jnp.int32), D,
+                                   sampler_fn=sampler_fn,
+                                   p_film_override=p_film,
+                                   st_select=(s_lane, t_lane))
+    L = L * n_str.astype(jnp.float32)[:, None]
+    L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
+    return L, raster
 
 
 def _eval_target(cs, u, max_depth):
@@ -71,29 +119,50 @@ def render_mlt(cs, options=None, verbose=False):
     if options.quick:
         n_bootstrap //= 8
         mutations_pp = max(4, mutations_pp // 8)
+    target = str(p.get("target", ["bdpt"])[0])
 
-    U = _n_dims(max_depth)
     W, H = cs.film.cropped_resolution
     n_pix = W * H
     total_mutations = mutations_pp * n_pix
     n_steps = max(1, total_mutations // n_chains)
+    n_depths = max_depth + 1
 
-    # ---- bootstrap: b = E[luminance] over uniform PSS vectors ----
-    eval_t = jax.jit(functools.partial(_eval_target, cs, max_depth=max_depth))
+    if target == "bdpt":
+        U = _n_dims_bdpt(max_depth)
 
+        def eval_t(u, depth_lane):
+            return _eval_bdpt_target(cs, u, max_depth, depth_lane)
+    else:
+        U = _n_dims(max_depth)
+
+        def eval_t(u, depth_lane):
+            return _eval_target(cs, u, max_depth)
+    eval_t = jax.jit(eval_t)
+
+    # ---- bootstrap: b over uniform PSS vectors; bootstrap i explores path
+    # depth i % n_depths (mlt/mod.rs :199) ----
     def boot_u(i0, count):
         idx = jnp.arange(count, dtype=jnp.uint32) + U32(i0)
         cols = [u32_to_float(hash3(idx, U32(d), U32(0xB007)))
                 for d in range(U)]
         return jnp.stack(cols, -1)
 
+    def boot_depth(i0, count):
+        idx = jnp.arange(count, dtype=jnp.uint32) + U32(i0)
+        return (idx % U32(n_depths)).astype(jnp.int32)
+
     chunk = min(n_bootstrap, 16384)
     ws = []
     for i0 in range(0, n_bootstrap, chunk):
-        L, _ = eval_t(boot_u(i0, chunk))
+        L, _ = eval_t(boot_u(i0, chunk), boot_depth(i0, chunk))
         ws.append(np.asarray(luminance(L)))
     w_boot = np.concatenate(ws)[:n_bootstrap]
     b = float(w_boot.mean())
+    if target == "bdpt":
+        # each bootstrap sample explores ONE depth, so the mean estimates
+        # (1/n_depths) * total integral: b = func_int * (max_depth + 1)
+        # (mlt/mod.rs :251-252)
+        b *= n_depths
     if b <= 0:
         return np.zeros((H, W, 3), np.float32)
 
@@ -105,8 +174,9 @@ def render_mlt(cs, options=None, verbose=False):
     u0 = np.zeros((n_chains, U), np.float32)
     for d in range(U):
         u0[:, d] = np.asarray(u32_to_float(hash3(jnp.asarray(starts), U32(d), U32(0xB007))))
+    depth_lane = jnp.asarray((starts % n_depths).astype(np.int32))
     u_cur = jnp.asarray(u0)
-    L_cur, pf_cur = eval_t(u_cur)
+    L_cur, pf_cur = eval_t(u_cur, depth_lane)
     y_cur = luminance(L_cur)
 
     # ---- Metropolis chains ----
@@ -128,7 +198,11 @@ def render_mlt(cs, options=None, verbose=False):
             pert = pert - jnp.floor(pert)
             prop.append(jnp.where(large, fresh, pert))
         u_prop = jnp.stack(prop, -1)
-        L_prop, pf_prop = _eval_target(cs, u_prop, max_depth)
+        if target == "bdpt":
+            L_prop, pf_prop = _eval_bdpt_target(cs, u_prop, max_depth,
+                                                depth_lane)
+        else:
+            L_prop, pf_prop = _eval_target(cs, u_prop, max_depth)
         y_prop = luminance(L_prop)
         a = jnp.clip(y_prop / jnp.maximum(y_cur, 1e-12), 0.0, 1.0)
 

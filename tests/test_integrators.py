@@ -66,10 +66,48 @@ def test_sppm_runs_and_is_sane(path_ref):
 
 def test_mlt_brightness_matches_path(path_ref):
     img = render(load_scene_string(scene_with(
-        'Integrator "mlt" "integer maxdepth" 3 "integer bootstrapsamples" [4096] '
-        '"integer chains" [512] "integer mutationsperpixel" [48]')))
+        'Integrator "mlt" "integer maxdepth" 3 '
+        '"integer mutationsperpixel" [400]')))
     # MLT normalizes absolute brightness through b — mean must agree
-    np.testing.assert_allclose(img.mean(), path_ref.mean(), rtol=0.25)
+    # (measured 1.4% at these settings; bound leaves noise headroom)
+    np.testing.assert_allclose(img.mean(), path_ref.mean(), rtol=0.05)
+
+
+@pytest.mark.heavy
+def test_mlt_beats_path_on_caustic():
+    """BDPT-target MLT explores specular-bounce light paths better than
+    equal-budget unidirectional path tracing (the scenes MLT exists for)."""
+    caustic = """
+LookAt 0 3.0 0.8  0 0 0  0 0 1
+Camera "perspective" "float fov" 35
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Sampler "02sequence" "integer pixelsamples" {spp}
+Integrator "{integ}" "integer maxdepth" 5 {extra}
+WorldBegin
+LightSource "point" "point from" [1.5 4 1.5] "rgb I" [60 60 60]
+AttributeBegin
+  Material "glass"
+  Translate 0 1.2 0
+  Shape "sphere" "float radius" 0.5
+AttributeEnd
+AttributeBegin
+  Material "matte" "rgb Kd" [0.7 0.7 0.7]
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [-6 0 -6  6 0 -6  6 0 6  -6 0 6]
+AttributeEnd
+WorldEnd
+"""
+    ref = render(load_scene_string(caustic.format(
+        integ="path", spp=128, extra="")))
+    lo = render(load_scene_string(caustic.format(
+        integ="path", spp=16, extra="")))
+    mlt = render(load_scene_string(caustic.format(
+        integ="mlt", spp=16,
+        extra='"integer mutationsperpixel" [100] '
+              '"integer bootstrapsamples" [16384]')))
+    err_path = float(np.mean((lo - ref) ** 2))
+    err_mlt = float(np.mean((mlt - ref) ** 2))
+    assert err_mlt < err_path, (err_mlt, err_path)
 
 
 def test_bdpt_same_order(path_ref):
