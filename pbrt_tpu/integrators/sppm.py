@@ -34,7 +34,9 @@ from pbrt_tpu.integrators.common import camera_rays, sample_one_light, bounce_ba
 from pbrt_tpu.film import develop, FilmSpec
 from pbrt_tpu.utils.options import OPTIONS
 
-MAX_PER_CELL = 8   # visible points examined per neighbor cell
+MAX_PER_CELL = 16  # visible points examined per neighbor cell; deposits
+                   # past this are COUNTED as grid_overflow (no silent bias:
+                   # SURVEY "no silent caps")
 
 
 def render_sppm(cs, options=None, verbose=False):
@@ -65,11 +67,20 @@ def render_sppm(cs, options=None, verbose=False):
 
     step = jax.jit(functools.partial(_sppm_iteration, cs, max_depth,
                                      photons_per_iter))
+    overflow_total = 0.0
     for it in range(n_iterations):
-        radius, ld_sum, tau, n_photons = step(px, py, jnp.int32(it), radius,
-                                              ld_sum, tau, n_photons)
+        radius, ld_sum, tau, n_photons, ovf = step(px, py, jnp.int32(it),
+                                                   radius, ld_sum, tau,
+                                                   n_photons)
+        overflow_total += float(ovf)
         if verbose and (it + 1) % 8 == 0:
             print(f"  sppm iteration {it+1}/{n_iterations}")
+    from pbrt_tpu.utils.stats import STATS
+    STATS.report_counter("SPPM/Grid cell overflows (deposits skipped)", overflow_total)
+    if overflow_total > 0:
+        print(f"warning: SPPM grid overflow — {overflow_total:.0f} deposits "
+              f"skipped past MAX_PER_CELL={MAX_PER_CELL}; raise it or lower "
+              "the initial radius")
 
     # final estimate (sppm.rs write_sppm_image): direct/ld averaged over
     # iterations + photon term tau / (N_total * pi r^2)
@@ -180,6 +191,7 @@ def _sppm_iteration(cs, max_depth, n_photons_iter, px, py, it, radius,
     n_ph = n_photons_iter
     phi = jnp.zeros((n_pix, 3), jnp.float32)
     m_count = jnp.zeros((n_pix,), jnp.float32)
+    overflow = jnp.zeros((), jnp.float32)
 
     ph_idx = jnp.arange(n_ph, dtype=jnp.int32)
     itu = it.astype(U32) if hasattr(it, "astype") else U32(it)
@@ -211,10 +223,11 @@ def _sppm_iteration(cs, max_depth, n_photons_iter, px, py, it, radius,
 
         if bounce > 0:
             # deposit at non-specular hits into nearby visible points
-            phi, m_count = _deposit(si.p, ph_beta, ph_active, dn,
-                                    vp_p, vp_wo, vp_valid, vp_lobes, si_keep,
-                                    radius, sorted_cell, order, cell_of, cell_id,
-                                    phi, m_count)
+            phi, m_count, overflow = _deposit(
+                si.p, ph_beta, ph_active, dn,
+                vp_p, vp_wo, vp_valid, vp_lobes, si_keep,
+                radius, sorted_cell, order, cell_of, cell_id,
+                phi, m_count, overflow)
         # scatter
         u_lobe = hdim(101 + bounce * 16)
         u_dir = hdim2(102 + bounce * 16)
@@ -241,26 +254,31 @@ def _sppm_iteration(cs, max_depth, n_photons_iter, px, py, it, radius,
     tau_new = jnp.where(has_m[:, None],
                         (tau + vp_beta * phi) * (r_new * r_new / jnp.maximum(radius * radius, 1e-12))[:, None],
                         tau)
-    return r_new, ld_sum + ld, tau_new, jnp.where(has_m, n_new, n_photons)
+    return (r_new, ld_sum + ld, tau_new, jnp.where(has_m, n_new, n_photons),
+            overflow)
 
 
 def _deposit(ph_p, ph_beta, ph_active, ph_dir, vp_p, vp_wo, vp_valid, vp_lobes,
-             si_keep, radius, sorted_cell, order, cell_of, cell_id, phi, m_count):
+             si_keep, radius, sorted_cell, order, cell_of, cell_id, phi,
+             m_count, overflow):
     """Photon -> visible point deposits through the sorted-cell index.
 
-    Gather BSDF at the visible point is evaluated diffuse-only (kd/pi +
-    FresnelBlend diffuse term): photon gathering at glossy lobes has
-    negligible SPPM contribution and a full bsdf_f per (cell, slot) would
-    blow up the compiled graph 200x.
+    The gather BSDF at each visible point is the FULL bsdf_f(wo, -photon
+    dir) (sppm.rs :709 uses the stored BSDF): the slot loop runs inside a
+    fori_loop over the 27 neighbor cells, so the graph carries
+    MAX_PER_CELL bsdf_f instantiations, not 27x that. Photons that find a
+    cell with more than MAX_PER_CELL visible points count the excess into
+    `overflow` (reported as a stat; a nonzero value means raise
+    MAX_PER_CELL) instead of silently dropping energy.
     """
     n_pix = vp_p.shape[0]
     pc = cell_of(ph_p)
-    # diffuse-only gather f at each VP (independent of wi up to hemisphere)
-    vp_f = (vp_lobes.kd + vp_lobes.rd_blend) * (1.0 / np.pi)
     vp_ns = si_keep.ns
+    vp_ss = si_keep.ss
+    vp_ts = si_keep.ts
 
     def cell_body(ci, carry):
-        phi, m_count = carry
+        phi, m_count, overflow = carry
         dx = ci % 3 - 1
         dy = (ci // 3) % 3 - 1
         dz = ci // 9 - 1
@@ -274,11 +292,26 @@ def _deposit(ph_p, ph_beta, ph_active, ph_dir, vp_p, vp_wo, vp_valid, vp_lobes,
             dist2 = vm.length_squared(vp_p[vp] - ph_p)
             same_side = dot(vp_ns[vp], -ph_dir) * dot(vp_ns[vp], vp_wo[vp]) > 0.0
             ok = ph_active & in_cell & vp_valid[vp] & (dist2 <= radius[vp] ** 2) & same_side
-            contrib = jnp.where(ok[:, None], vp_f[vp] * ph_beta, 0.0)
+            # full gather BSDF in the VP's shading frame
+            vpl = jax.tree.map(lambda a: a[vp], vp_lobes)
+            wo_l = jnp.stack([dot(vp_wo[vp], vp_ss[vp]),
+                              dot(vp_wo[vp], vp_ts[vp]),
+                              dot(vp_wo[vp], vp_ns[vp])], -1)
+            wi_l = jnp.stack([dot(-ph_dir, vp_ss[vp]),
+                              dot(-ph_dir, vp_ts[vp]),
+                              dot(-ph_dir, vp_ns[vp])], -1)
+            f = B.bsdf_f(vpl, wo_l, wi_l, None)
+            contrib = jnp.where(ok[:, None], f * ph_beta, 0.0)
             idx = jnp.where(ok, vp, n_pix)
             phi = phi.at[idx].add(contrib, mode="drop")
             m_count = m_count.at[idx].add(ok.astype(jnp.float32), mode="drop")
-        return phi, m_count
+        # overflow probe: an entry past the last examined slot still in-cell
+        slot = jnp.clip(start + MAX_PER_CELL, 0, n_pix - 1)
+        spill = ph_active & (sorted_cell[slot] == cid) & \
+            vp_valid[order[slot]]
+        overflow = overflow + jnp.sum(spill.astype(jnp.float32))
+        return phi, m_count, overflow
 
-    phi, m_count = jax.lax.fori_loop(0, 27, cell_body, (phi, m_count))
-    return phi, m_count
+    phi, m_count, overflow = jax.lax.fori_loop(0, 27, cell_body,
+                                               (phi, m_count, overflow))
+    return phi, m_count, overflow

@@ -56,12 +56,17 @@ def test_direct_lighting_between(path_ref):
     assert 0.4 * path_ref.mean() < img.mean() <= 1.02 * path_ref.mean()
 
 
-def test_sppm_runs_and_is_sane(path_ref):
+def test_sppm_matches_path(path_ref):
+    from pbrt_tpu.utils.stats import STATS
+    STATS.counters.pop("SPPM/Grid cell overflows (deposits skipped)", None)
     img = render(load_scene_string(scene_with(
-        'Integrator "sppm" "integer numiterations" [12] "float radius" [0.4] '
+        'Integrator "sppm" "integer numiterations" [64] "float radius" [0.25] '
         '"integer maxdepth" 3')))
-    # photon estimators converge slowly; just demand same order of magnitude
-    assert 0.3 * path_ref.mean() < img.mean() < 3.0 * path_ref.mean()
+    # measured 5.8% high at these settings (photon estimators bias down with
+    # radius); VERDICT r2 #8 asks +-10%
+    np.testing.assert_allclose(img.mean(), path_ref.mean(), rtol=0.10)
+    # and the grid cap must never silently drop deposits
+    assert STATS.counters["SPPM/Grid cell overflows (deposits skipped)"] == 0.0
 
 
 def test_mlt_brightness_matches_path(path_ref):
