@@ -110,17 +110,22 @@ def render_sampler_integrator(cs: CompiledScene, options=None, verbose=False,
     has_stats = (options.stats_device
                  and "with_stats" in inspect.signature(base_fn).parameters)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(film, sample_lo):
-        pxs = jnp.tile(jnp.asarray(px), (k,))
-        pys = jnp.tile(jnp.asarray(py), (k,))
-        sidx = (sample_lo + jnp.repeat(jnp.arange(k), n_pix)).astype(jnp.int32)
-        if has_stats:
-            L, p_film, ray_w, cnt = li(cs, pxs, pys, sidx, with_stats=True)
-        else:
-            L, p_film, ray_w = li(cs, pxs, pys, sidx)
-            cnt = None
-        return add_samples(cs.film, film, p_film, L, ray_w, table=table), cnt
+    @functools.lru_cache(maxsize=None)
+    def make_step(kk):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(film, sample_lo):
+            pxs = jnp.tile(jnp.asarray(px), (kk,))
+            pys = jnp.tile(jnp.asarray(py), (kk,))
+            sidx = (sample_lo
+                    + jnp.repeat(jnp.arange(kk), n_pix)).astype(jnp.int32)
+            if has_stats:
+                L, p_film, ray_w, cnt = li(cs, pxs, pys, sidx, with_stats=True)
+            else:
+                L, p_film, ray_w = li(cs, pxs, pys, sidx)
+                cnt = None
+            return add_samples(cs.film, film, p_film, L, ray_w,
+                               table=table), cnt
+        return step
 
     from pbrt_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
     film = FilmState.zeros(cs.film)
@@ -136,7 +141,8 @@ def render_sampler_integrator(cs: CompiledScene, options=None, verbose=False,
                 print(f"  resumed from {ck} at spp {s}/{spp}")
     cnt_total = None
     while s < spp:
-        film, cnt = step(film, jnp.int32(s))
+        # clamp to remaining samples (resume parity: no overshoot past spp)
+        film, cnt = make_step(min(k, spp - s))(film, jnp.int32(s))
         if cnt is not None:
             cnt_total = cnt if cnt_total is None else \
                 jax.tree.map(jnp.add, cnt_total, cnt)

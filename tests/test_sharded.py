@@ -44,3 +44,37 @@ def test_mesh_uses_devices():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     mesh = make_ray_mesh(4)
     assert mesh.devices.size == 4
+
+
+def test_sharded_stats_and_checkpoint(tmp_path):
+    """Parity with the single-device driver: device counters psum across
+    the mesh into the stats registry (P8), and checkpoint/resume works."""
+    from pbrt_tpu.utils.stats import STATS
+    from pbrt_tpu.utils.options import Options
+    from pbrt_tpu.utils.checkpoint import load_checkpoint
+
+    cs = load_scene_string(SCENE)
+    mesh = make_ray_mesh(4)
+
+    STATS.clear()
+    opts = Options()
+    opts.stats_device = True
+    opts.checkpoint_path = str(tmp_path / "ck.npz")
+    opts.checkpoint_every = 1
+    opts.wavefront_size = 16 * 16   # force multiple batches so a mid-run
+                                    # checkpoint actually lands
+    img = render_sharded(cs, mesh, options=opts)
+    # counters crossed the mesh: camera rays = n_pix * spp
+    assert STATS.counters.get("Intersections/Camera rays traced", 0) >= 16 * 16 * 8
+    ck = load_checkpoint(opts.checkpoint_path)
+    assert ck is not None
+    film, s, _ = ck
+    assert s > 0
+
+    # resume from the checkpoint gives the same final image
+    opts2 = Options()
+    opts2.stats_device = False
+    opts2.checkpoint_path = opts.checkpoint_path
+    opts2.resume = True
+    img2 = render_sharded(cs, mesh, options=opts2)
+    np.testing.assert_allclose(img2, img, rtol=2e-5, atol=2e-6)
