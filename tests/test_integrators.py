@@ -56,6 +56,7 @@ def test_direct_lighting_between(path_ref):
     assert 0.4 * path_ref.mean() < img.mean() <= 1.02 * path_ref.mean()
 
 
+@pytest.mark.heavy
 def test_sppm_matches_path(path_ref):
     from pbrt_tpu.utils.stats import STATS
     STATS.counters.pop("SPPM/Grid cell overflows (deposits skipped)", None)
@@ -69,6 +70,7 @@ def test_sppm_matches_path(path_ref):
     assert STATS.counters["SPPM/Grid cell overflows (deposits skipped)"] == 0.0
 
 
+@pytest.mark.heavy
 def test_mlt_brightness_matches_path(path_ref):
     img = render(load_scene_string(scene_with(
         'Integrator "mlt" "integer maxdepth" 3 '
@@ -115,6 +117,7 @@ WorldEnd
     assert err_mlt < err_path, (err_mlt, err_path)
 
 
+@pytest.mark.heavy
 def test_bdpt_same_order(path_ref):
     img = render(load_scene_string(scene_with(
         'Integrator "bdpt" "integer maxdepth" 3')))
@@ -146,6 +149,7 @@ WorldEnd
 """
 
 
+@pytest.mark.heavy
 def test_bdpt_matches_path_env_lit():
     """VERDICT r2 #3: env-lit BDPT within a few percent of path (the escape
     strategy + infinite-light MIS densities)."""
