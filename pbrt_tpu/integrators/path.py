@@ -92,9 +92,13 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         sss_rho3 = jnp.zeros((n, 3), jnp.float32)
         sss_kd_adapter = jnp.zeros((n,), jnp.float32)
 
+    # ray time drives animated instance transforms (camera u_time, dim 4 —
+    # the counter-based sampler reproduces camera_rays' draw exactly)
+    ray_time = sample_dim_(4) if flags.n_instances > 0 else None
+
     # camera-ray closest hit; per bounce thereafter the next-ray closest hit
     # and the NEE shadow occlusion ride ONE merged traversal (intersect_pair)
-    si = intersect(data, flags, o, normalize(d), t_max)
+    si = intersect(data, flags, o, normalize(d), t_max, time=ray_time)
 
     for bounce in range(max_depth + 1):
         base = bounce_base(bounce)
@@ -240,7 +244,8 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
 
         # ---- merged traversal: next-ray closest hit + shadow occlusion ----
         si, occluded = intersect_pair(data, flags, o, normalize(d), t_max,
-                                      active, o_sh, d_sh, dist_sh, nee_live)
+                                      active, o_sh, d_sh, dist_sh, nee_live,
+                                      time=ray_time)
         L = L + jnp.where((nee_live & ~occluded)[:, None], beta_nee * ld, 0.0)
 
     if with_stats:

@@ -113,6 +113,12 @@ class SceneDescription:
         self.shapes: List[ShapeRecord] = []
         self.lights: List[LightRecord] = []
         self.media: Dict[str, Tuple[str, ParamSet]] = {}
+        # shared-prototype instancing (TransformedPrimitive analog,
+        # core/src/primitives/transformed_primitive.rs): prototypes hold
+        # geometry ONCE; instances reference it with a (possibly animated)
+        # transform pair. Filled by Api.object_instance / animated shapes.
+        self.prototypes: List[List[ShapeRecord]] = []
+        self.instances: List[dict] = []
         # global options
         self.camera_kind = "perspective"
         self.camera_params = ParamSet()
@@ -148,6 +154,8 @@ class Api:
         # object instancing
         self.current_object: Optional[str] = None
         self.objects: Dict[str, List[ShapeRecord]] = {}
+        self.object_begin_ctm: Dict[str, TransformSet] = {}
+        self.proto_ids: Dict[str, int] = {}
         self._transform_times = (0.0, 1.0)
 
     # -- transforms ------------------------------------------------------
@@ -341,6 +349,21 @@ class Api:
                 rec.area_light = li
             if self.current_object is not None:
                 self.objects[self.current_object].append(rec)
+            elif (self.ctm.is_animated() and rec.mesh is not None
+                  and rec.area_light < 0):
+                # animated shape -> implicit single-instance prototype with
+                # the CTM pair as its motion (api/src/lib.rs:813-874 wraps
+                # animated shapes in a TransformedPrimitive). Vertices carry
+                # the START transform, so the instance motion is the delta.
+                pid = len(self.scene.prototypes)
+                self.scene.prototypes.append([rec])
+                m0 = Transform()                       # identity at t0
+                m1 = self.ctm.t[1] * self.ctm.t[0].inverse()
+                self.scene.instances.append(dict(
+                    proto=pid,
+                    m_p2w0=m0.m.copy(), m_w2p0=m0.m_inv.copy(),
+                    m_p2w1=m1.m.copy(), m_w2p1=m1.m_inv.copy(),
+                    animated=True))
             else:
                 idx = len(self.scene.shapes)
                 self.scene.shapes.append(rec)
@@ -352,14 +375,44 @@ class Api:
         self.attribute_begin()
         self.current_object = name
         self.objects[name] = []
+        self.object_begin_ctm[name] = self.ctm.clone()
 
     def object_end(self):
         self.current_object = None
         self.attribute_end()
 
     def object_instance(self, name):
-        """Bake the instance under the current CTM (TransformedPrimitive
-        analog, api/src/lib.rs:909-988)."""
+        """Instance the named prototype under the current CTM
+        (api/src/lib.rs:909-988; transformed_primitive.rs).
+
+        Pure triangle-mesh prototypes without area lights share ONE copy of
+        their geometry behind a per-instance transform — a 1000-instance
+        scene stays O(prototype) HBM, and the transform pair carries motion
+        blur. Prototypes with quadrics or emitters fall back to baking
+        (geometry duplicated per instance), the round-1/2 behavior."""
+        recs = self.objects.get(name, [])
+        shared_ok = recs and all(r.mesh is not None and r.area_light < 0
+                                 for r in recs)
+        if shared_ok:
+            if name not in self.proto_ids:
+                self.proto_ids[name] = len(self.scene.prototypes)
+                self.scene.prototypes.append(list(recs))
+            begin = self.object_begin_ctm.get(name, TransformSet())
+            # instance transform relative to the ObjectBegin frame
+            # (prototype vertices already carry the definition CTM)
+            m0 = self.ctm.t[0] * begin.t[0].inverse()
+            m1 = self.ctm.t[1] * begin.t[1].inverse()
+            self.scene.instances.append(dict(
+                proto=self.proto_ids[name],
+                m_p2w0=m0.m.copy(), m_w2p0=m0.m_inv.copy(),
+                m_p2w1=m1.m.copy(), m_w2p1=m1.m_inv.copy(),
+                animated=not np.allclose(m0.m, m1.m)))
+            return
+        self._bake_instance(name)
+
+    def _bake_instance(self, name):
+        """Geometry-duplicating fallback for prototypes the shared path
+        cannot represent (quadrics, emitting shapes)."""
         import copy
         inst = self.ctm.t[0]
         for rec in self.objects.get(name, []):

@@ -181,8 +181,59 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         tri_uv = [np.zeros((1, 3, 2), np.float32)]
         tri_prim = [np.zeros(1, np.int32)]
         n_tri_real = 0
+        n_tri = 1
     else:
         n_tri_real = n_tri
+
+    # ---- shared-prototype instances (transformed_primitive.rs:16): each
+    # prototype's triangles are appended ONCE in prototype space, after the
+    # world triangles — the world BVH covers only rows [0, n_world_tri) and
+    # the instance kernel's prototype subtrees index the shared rows, so
+    # uv/material/normal gathers downstream are uniform ----
+    n_world_tri = n_tri
+    proto_info = []
+    proto_gids = []
+    for precs in desc.prototypes:
+        pp0, pp1, pp2, gids = [], [], [], []
+        for rec in precs:
+            pid = len(prim_material)
+            prim_material.append(rec.material)
+            prim_light.append(-1)
+            prim_medium.append((med_ids.get(rec.medium_inside, -1),
+                                med_ids.get(rec.medium_outside, -1)))
+            prim_alpha.append((rec.mesh.alpha_tex, rec.mesh.shadow_alpha_tex))
+            m = rec.mesh
+            prim_rev.append(rec.reverse_orientation
+                            ^ m.transform_swaps_handedness)
+            idx = m.indices
+            T = idx.shape[0]
+            tri_p.append(m.p[idx])
+            if m.n is not None:
+                tri_n.append(m.n[idx])
+                tri_has_n.append(np.ones(T, bool))
+            else:
+                tri_n.append(np.zeros((T, 3, 3), np.float32))
+                tri_has_n.append(np.zeros(T, bool))
+            if m.uv is not None:
+                tri_uv.append(m.uv[idx])
+            else:
+                default_uv = np.array([[0, 0], [1, 0], [1, 1]], np.float32)
+                tri_uv.append(np.tile(default_uv, (T, 1, 1)))
+            tri_prim.append(np.full(T, pid, np.int32))
+            verts = m.p[idx].astype(np.float32)
+            pp0.append(verts[:, 0])
+            pp1.append(verts[:, 1])
+            pp2.append(verts[:, 2])
+            gids.append(np.arange(n_tri, n_tri + T, dtype=np.int32))
+            n_tri += T
+        p0 = np.concatenate(pp0)
+        p1 = np.concatenate(pp1)
+        p2 = np.concatenate(pp2)
+        plo = np.minimum(np.minimum(p0, p1), p2)
+        phi = np.maximum(np.maximum(p0, p1), p2)
+        proto_info.append((plo, phi, p0, p1, p2))
+        proto_gids.append(np.concatenate(gids))
+
     tp = np.concatenate(tri_p).astype(np.float32)
     tn = np.concatenate(tri_n).astype(np.float32)
     thn = np.concatenate(tri_has_n)
@@ -207,9 +258,10 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         prim_medium = [(-1, -1)]
         prim_alpha = [(-1, -1)]
 
-    # ---- BVH over triangles ----
-    lo = tp.min(axis=1)
-    hi = tp.max(axis=1)
+    # ---- BVH over WORLD triangles (prototype rows excluded) ----
+    wtp = tp[:n_world_tri]
+    lo = wtp.min(axis=1)
+    hi = wtp.max(axis=1)
     eps = 1e-5 * np.maximum(np.abs(lo) + np.abs(hi), 1.0)
     split_method = desc.accelerator_params.find_one_string("splitmethod", "sah")
     bvh = build_bvh(lo - eps, hi + eps, split_method=split_method)
@@ -225,10 +277,17 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     if (use_bvh and desc.accelerator_kind != "kdtree" and _pal_env != "0"
             and (jax.default_backend() == "tpu" or _pal_env == "1")):
         from pbrt_tpu.accel.pallas_traverse import pack_pallas_bvh
-        cand = pack_pallas_bvh(bvh, tp[:, 0], tp[:, 1], tp[:, 2])
+        cand = pack_pallas_bvh(bvh, wtp[:, 0], wtp[:, 1], wtp[:, 2])
         if cand.vmem_bytes <= 12 * 1024 * 1024:
             pbvh = cand
             use_pallas = True
+
+    # ---- instance world (two-level traversal, accel/pallas_instance.py) --
+    ibvh = None
+    n_instances = len(desc.instances)
+    if n_instances:
+        from pbrt_tpu.accel.pallas_instance import pack_instance_world
+        ibvh = pack_instance_world(proto_info, proto_gids, desc.instances)
     if desc.accelerator_kind == "kdtree" and use_bvh:
         kd = build_kdtree(lo - eps, hi + eps)
         if kd is not None:
@@ -242,6 +301,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
 
     # ---- world bounds ----
     pts = [lo, hi]
+    if ibvh is not None:
+        pts.extend([np.asarray(ibvh.wlo)[None], np.asarray(ibvh.whi)[None]])
     for i in range(len(quads)):
         if n_quad_real == 0:
             break
@@ -458,9 +519,12 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         jnp.asarray(wc.astype(np.float32)), jnp.asarray(np.float32(wr)))
     if pbvh is not None:
         data = data._replace(pbvh=pbvh)
+    if ibvh is not None:
+        data = data._replace(ibvh=ibvh)
 
     flags = SceneFlags(
         n_tris=n_tri_real, n_quadrics=n_quad_real, n_lights=n_lights,
+        n_instances=n_instances, n_world_tris=n_world_tri,
         n_materials=len(desc.materials),
         has_infinite=any(k == L_INFINITE for k in l_kind[:n_lights]),
         has_area_lights=any(k == L_AREA for k in l_kind[:n_lights]),

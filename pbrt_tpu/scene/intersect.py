@@ -104,6 +104,11 @@ def _closest_tris(scene, flags, o, d, t_best, anyhit_mask=None):
     if flags.use_bvh:
         return intersect_bvh(scene.bvh, scene.tri_p0, scene.tri_p1,
                              scene.tri_p2, o, d, t_best)
+    if flags.n_instances > 0:
+        # prototype rows live past n_world_tris and are NOT world geometry
+        nw = flags.n_world_tris
+        return intersect_bruteforce(scene.tri_p0[:nw], scene.tri_p1[:nw],
+                                    scene.tri_p2[:nw], o, d, t_best)
     return intersect_bruteforce(scene.tri_p0, scene.tri_p1, scene.tri_p2,
                                 o, d, t_best)
 
@@ -160,8 +165,28 @@ def _closest_tris_alpha(scene, flags, o, d, t_best, shadow=False):
                   jnp.where(still, -1, th.tri), th.b1, th.b2)
 
 
-def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max) -> SurfaceInteraction:
-    """Closest hit of the whole wavefront -> full SurfaceInteraction."""
+def _instance_pass(scene, flags, o, d, tri_t, tri_id, b1, b2, time):
+    """Fold the two-level instance world's closest hits into the triangle
+    results (accel/pallas_instance.py). Returns updated (t, id, b1, b2,
+    inst)."""
+    from pbrt_tpu.accel.pallas_instance import intersect_instances
+    thi, inst_i = intersect_instances(scene.ibvh, o, d, tri_t, time=time,
+                                      interpret=not flags.use_pallas)
+    hit_i = thi.tri >= 0        # already bounded by tri_t
+    tri_t = jnp.where(hit_i, thi.t, tri_t)
+    tri_id = jnp.where(hit_i, thi.tri, tri_id)
+    b1 = jnp.where(hit_i, thi.b1, b1)
+    b2 = jnp.where(hit_i, thi.b2, b2)
+    inst = jnp.where(hit_i, inst_i, -1)
+    return tri_t, tri_id, b1, b2, inst
+
+
+def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max,
+              time=None) -> SurfaceInteraction:
+    """Closest hit of the whole wavefront -> full SurfaceInteraction.
+
+    time: optional [N] ray times in [0,1] for animated instance transforms
+    (static scenes ignore it)."""
     N = o.shape[0]
     t_best = jnp.asarray(t_max, jnp.float32)
 
@@ -174,6 +199,11 @@ def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max) -> SurfaceIntera
         tri_id = jnp.full((N,), -1, jnp.int32)
         b1 = b2 = jnp.zeros((N,), jnp.float32)
 
+    inst = None
+    if flags.n_instances > 0:
+        tri_t, tri_id, b1, b2, inst = _instance_pass(
+            scene, flags, o, d, tri_t, tri_id, b1, b2, time)
+
     # quadrics
     if flags.n_quadrics > 0:
         q_t, q_id = _quadric_pass(scene, flags, o, d, tri_t)
@@ -181,12 +211,12 @@ def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max) -> SurfaceIntera
         q_t = tri_t
         q_id = jnp.full((N,), -1, jnp.int32)
     return _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2,
-                        q_t, q_id)
+                        q_t, q_id, inst=inst, time=time)
 
 
 def intersect_pair(scene: SceneData, flags: SceneFlags,
                    o_nx, d_nx, tmax_nx, active_nx,
-                   o_sh, d_sh, dist_sh, active_sh):
+                   o_sh, d_sh, dist_sh, active_sh, time=None):
     """One merged traversal for a bounce's next-ray + shadow-ray sets.
 
     The path integrator needs, per bounce, a closest hit for the continued
@@ -230,6 +260,13 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
         tri_t = tm2
         tri_id = jnp.full((2 * N,), -1, jnp.int32)
         b1 = b2 = jnp.zeros((2 * N,), jnp.float32)
+    inst = None
+    if flags.n_instances > 0:
+        t2 = None if time is None else jnp.concatenate(
+            [jnp.broadcast_to(time, (N,))] * 2)
+        tri_t, tri_id, b1, b2, inst2 = _instance_pass(
+            scene, flags, o2, d2, tri_t, tri_id, b1, b2, t2)
+        inst = inst2[:N]
     if flags.n_quadrics > 0:
         q_t, q_id = _quadric_pass(scene, flags, o2, d2, tri_t)
     else:
@@ -239,11 +276,12 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
     occluded = active_sh & ((tri_id[N:] >= 0) | (q_id[N:] >= 0))
     si = _assemble_si(scene, flags, o_nx, d_nx, tmax_nx,
                       tri_t[:N], tri_id[:N], b1[:N], b2[:N],
-                      q_t[:N], q_id[:N])
+                      q_t[:N], q_id[:N], inst=inst, time=time)
     return si, occluded
 
 
-def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id):
+def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id,
+                 inst=None, time=None):
     N = o.shape[0]
 
     use_quad = q_id >= 0   # quadric pass already bounded by tri_t
@@ -284,6 +322,36 @@ def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id):
     else:
         p, ng, ns, uv, dpdu, dpdv, perr = p_t, ng_t, ns_t, uv_t, dpdu_t, dpdv_t, perr_t
         prim = scene.tri_prim[tid]
+
+    # instanced hits: geometry came out in PROTOTYPE space — move the frame
+    # to world with the lane's instance transform at its ray time
+    # (transformed_primitive.rs intersect: ray into prototype space, hit
+    # back out; t is world-metric already, so p comes from the ray)
+    if inst is not None and flags.n_instances > 0:
+        has_i = (inst >= 0) & ~use_quad
+        ii = jnp.maximum(inst, 0)
+        tt = jnp.zeros((N,), jnp.float32) if time is None else \
+            jnp.broadcast_to(time, (N,)).astype(jnp.float32)
+        w = jnp.clip(tt, 0.0, 1.0)[:, None]
+        A = vm.gather_rows(scene.ibvh.i2w, ii)          # [N,2,16]
+        Mi = (A[:, 0] + w * (A[:, 1] - A[:, 0])).reshape(N, 4, 4)
+        Wm = vm.gather_rows(scene.ibvh.w2p, ii)
+        Mw = (Wm[:, 0] + w * (Wm[:, 1] - Wm[:, 0])).reshape(N, 4, 4)
+        lin = Mi[:, :3, :3]
+        p_i = o + t[:, None] * d
+        dpdu_i = jnp.einsum("nij,nj->ni", lin, dpdu)
+        dpdv_i = jnp.einsum("nij,nj->ni", lin, dpdv)
+        # normals transform by the inverse-transpose = (w2p linear)^T
+        ns_i = normalize(jnp.einsum("nij,ni->nj", Mw[:, :3, :3], ns))
+        ng_i = normalize(jnp.einsum("nij,ni->nj", Mw[:, :3, :3], ng))
+        perr_i = jnp.einsum("nij,nj->ni", jnp.abs(lin), perr) \
+            + 1e-5 * jnp.abs(p_i)
+        p = jnp.where(has_i[:, None], p_i, p)
+        dpdu = jnp.where(has_i[:, None], dpdu_i, dpdu)
+        dpdv = jnp.where(has_i[:, None], dpdv_i, dpdv)
+        ns = jnp.where(has_i[:, None], ns_i, ns)
+        ng = jnp.where(has_i[:, None], vm.face_forward(ng_i, ns_i), ng)
+        perr = jnp.where(has_i[:, None], perr_i, perr)
 
     # reverse orientation flips normals (GeometricPrimitive)
     rev = scene.prim_rev[jnp.maximum(prim, 0)]
@@ -335,10 +403,20 @@ def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max):
         elif flags.use_bvh:
             th = intersect_bvh(scene.bvh, scene.tri_p0, scene.tri_p1,
                                scene.tri_p2, o, d, t_max, any_hit=True)
+        elif flags.n_instances > 0:
+            nw = flags.n_world_tris
+            th = intersect_bruteforce(scene.tri_p0[:nw], scene.tri_p1[:nw],
+                                      scene.tri_p2[:nw], o, d, t_max)
         else:
             th = intersect_bruteforce(scene.tri_p0, scene.tri_p1, scene.tri_p2,
                                       o, d, t_max)
         occluded = occluded | (th.tri >= 0)
+    if flags.n_instances > 0:
+        from pbrt_tpu.accel.pallas_instance import intersect_instances
+        thi, _ = intersect_instances(scene.ibvh, o, d,
+                                     jnp.asarray(t_max, jnp.float32),
+                                     interpret=not flags.use_pallas)
+        occluded = occluded | (thi.tri >= 0)
     if flags.n_quadrics > 0:
         q_t, q_id = _quadric_pass(scene, flags, o, d, jnp.asarray(t_max, jnp.float32))
         occluded = occluded | (q_id >= 0)

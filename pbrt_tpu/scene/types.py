@@ -62,6 +62,9 @@ class SceneData(NamedTuple):
     # Pallas kernel layout of the BVH (accel/pallas_traverse.py); built on
     # TPU backends when the tables fit the VMEM budget, else None
     pbvh: object = None
+    # two-level instance world (accel/pallas_instance.py InstanceBVH);
+    # None when the scene has no shared-prototype instances
+    ibvh: object = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +90,9 @@ class SceneFlags:
     # light-selection strategy (core/src/light_distrib/mod.rs): "power"
     # (default), "uniform", or "spatial"
     light_strategy: str = "power"
+    # shared-prototype instancing (transformed_primitive.rs analog)
+    n_instances: int = 0
+    n_world_tris: int = 0        # tri-table rows covered by the world BVH
 
 
 @dataclasses.dataclass

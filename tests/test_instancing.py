@@ -1,0 +1,100 @@
+"""Shared-prototype instancing + motion blur (transformed_primitive.rs,
+api/src/lib.rs:813-874).
+
+The two-level instance traversal must agree with the same scene written
+with the geometry duplicated inline, share prototype geometry across many
+instances (O(prototype) memory), and produce a motion streak for animated
+transforms.
+"""
+import numpy as np
+
+from pbrt_tpu.scene import load_scene_string
+from pbrt_tpu.render import render
+
+HEAD = """
+LookAt 0 6 6  0 0 0  0 1 0
+Camera "perspective" "float fov" 45
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Sampler "02sequence" "integer pixelsamples" 8
+Integrator "path" "integer maxdepth" 2
+WorldBegin
+LightSource "infinite" "rgb L" [0.8 0.8 0.8]
+AttributeBegin
+  Material "matte" "rgb Kd" [0.5 0.5 0.5]
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [-20 -1 -20  20 -1 -20  20 -1 20  -20 -1 20]
+AttributeEnd
+"""
+
+# a small pyramid prototype (4 triangles)
+PYRAMID = """
+  Shape "trianglemesh" "integer indices" [0 1 2  0 2 3  0 3 1  1 3 2]
+    "point P" [0 1 0  -0.5 0 -0.5  0.5 0 -0.5  0 0 0.5]
+"""
+
+OFFSETS = [(-2, 0), (0, 0), (2, 0), (-1, -2), (1, -2)]
+
+
+def scene_instanced():
+    s = HEAD
+    s += 'ObjectBegin "pyr"\n  Material "matte" "rgb Kd" [0.7 0.3 0.2]\n'
+    s += PYRAMID + 'ObjectEnd\n'
+    for x, z in OFFSETS:
+        s += f'AttributeBegin\n  Translate {x} 0 {z}\n  ObjectInstance "pyr"\nAttributeEnd\n'
+    return s + "WorldEnd\n"
+
+
+def scene_baked():
+    s = HEAD
+    for x, z in OFFSETS:
+        s += ('AttributeBegin\n  Material "matte" "rgb Kd" [0.7 0.3 0.2]\n'
+              f'  Translate {x} 0 {z}\n' + PYRAMID + 'AttributeEnd\n')
+    return s + "WorldEnd\n"
+
+
+def test_instanced_matches_baked():
+    cs_i = load_scene_string(scene_instanced())
+    assert cs_i.flags.n_instances == len(OFFSETS)
+    # shared geometry: ONE prototype copy in the tri tables (plus ground)
+    assert cs_i.data.tri_p0.shape[0] == 2 + 4   # ground quad (2) + pyramid (4)
+    img_i = render(cs_i)
+
+    cs_b = load_scene_string(scene_baked())
+    assert cs_b.flags.n_instances == 0
+    img_b = render(cs_b)
+    np.testing.assert_allclose(img_i, img_b, rtol=2e-4, atol=2e-4)
+
+
+def test_memory_is_o_prototype():
+    """1000 instances must not replicate geometry (VERDICT r2 #7)."""
+    s = HEAD + 'ObjectBegin "pyr"\n' + PYRAMID + 'ObjectEnd\n'
+    rng = np.random.default_rng(0)
+    for i in range(1000):
+        x, z = rng.uniform(-15, 15, 2)
+        s += (f'AttributeBegin\n  Translate {x:.3f} 0 {z:.3f}\n'
+              '  ObjectInstance "pyr"\nAttributeEnd\n')
+    cs = load_scene_string(s + "WorldEnd\n")
+    assert cs.flags.n_instances == 1000
+    assert cs.data.tri_p0.shape[0] == 2 + 4      # geometry stored once
+    # instance tables are O(I), not O(I * tris)
+    assert cs.data.ibvh.i2w.shape[0] == 1000
+
+
+def test_motion_blur_streak():
+    """An animated transform smears the silhouette between its keyframes
+    (api/src/lib.rs:813-874 animated shapes)."""
+    static = HEAD + ('AttributeBegin\n  Material "matte" "rgb Kd" [0.8 0.2 0.2]\n'
+                     '  Translate -1.5 0 0\n' + PYRAMID + 'AttributeEnd\nWorldEnd\n')
+    moving = HEAD + ('AttributeBegin\n  Material "matte" "rgb Kd" [0.8 0.2 0.2]\n'
+                     '  ActiveTransform StartTime\n  Translate -1.5 0 0\n'
+                     '  ActiveTransform EndTime\n  Translate 1.5 0 0\n'
+                     '  ActiveTransform All\n' + PYRAMID + 'AttributeEnd\nWorldEnd\n')
+    img_s = render(load_scene_string(static))
+    img_m = render(load_scene_string(moving))
+    # the moving render must place energy where the static one has none
+    # (right half of the sweep) — a coarse but unambiguous streak check
+    diff = np.abs(img_m - img_s).sum(-1)
+    assert diff.max() > 0.01, "no motion visible"
+    cs = load_scene_string(moving)
+    assert cs.flags.n_instances == 1   # wrapped as an animated instance
+    assert bool(np.asarray(cs.data.ibvh.ianim)[0])
