@@ -73,11 +73,44 @@ def main():
     total_rays = chunk * n_chunks * iters * rays_per_sample
     mrays = total_rays / dt / 1e6
     baseline = 100.0  # BASELINE.json north star: 100 Mrays/s/chip
+
+    # regress the traversal kernel's per-block iteration counts (packet
+    # union size — the divergence metric VERDICT r2 asks to track): a
+    # camera wavefront and a first-bounce diffuse wavefront
+    import numpy as _np
+    from pbrt_tpu.accel.pallas_traverse import _traverse
+    from pbrt_tpu.scene.intersect import intersect
+    from pbrt_tpu.core.math import normalize as _norm
+    from pbrt_tpu.integrators.common import camera_rays as _cr
+    n_it = 1 << 16
+    rays, _, _ = jax.jit(lambda a, b, c: _cr(cs, a, b, c))(
+        px[:n_it], py[:n_it], jnp.ones(n_it, jnp.int32))
+    o_c, d_c = rays.o, _norm(rays.d)
+    tmax = jnp.full((n_it,), 1e30)
+    _, it_cam = jax.jit(lambda o, d, t: _traverse(cs.data.pbvh, o, d, t,
+                                                  with_iters=True))(o_c, d_c, tmax)
+    si = jax.jit(lambda o, d: intersect(cs.data, cs.flags, o, d, tmax))(o_c, d_c)
+    kx = jax.random.PRNGKey(0)
+    u = jax.random.uniform(kx, (n_it, 2))
+    r = jnp.sqrt(u[:, 0])
+    phi = 2 * jnp.pi * u[:, 1]
+    t_ = jnp.where(jnp.abs(si.ns[:, 0:1]) > 0.9,
+                   jnp.array([[0.0, 1.0, 0.0]]), jnp.array([[1.0, 0.0, 0.0]]))
+    ss = _norm(jnp.cross(si.ns, t_))
+    ts = jnp.cross(si.ns, ss)
+    d_b = _norm((r * jnp.cos(phi))[:, None] * ss + (r * jnp.sin(phi))[:, None] * ts
+                + jnp.sqrt(jnp.maximum(1 - u[:, 0], 0.0))[:, None] * si.ns)
+    _, it_bnc = jax.jit(lambda o, d, t: _traverse(cs.data.pbvh, o, d, t,
+                                                  with_iters=True))(
+        si.p + si.ng * 1e-3, d_b, tmax)
+
     print(json.dumps({
         "metric": "Mrays/s/chip (knot path-trace, depth 4)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline, 4),
+        "iters_per_block_camera": round(float(_np.mean(it_cam)), 1),
+        "iters_per_block_bounce": round(float(_np.mean(it_bnc)), 1),
     }))
 
 

@@ -104,7 +104,7 @@ def test_golden(scene, png, tol):
     ("samplers/halton.pbrt", "samplers/halton.png", 0.03),
     ("samplers/sobol.pbrt", "samplers/sobol.png", 0.03),
     ("samplers/02sequence.pbrt", "samplers/02sequence.png", 0.03),
-    ("samplers/maxmindist.pbrt", "samplers/maxmindist.png", 0.03),
+    ("samplers/maxmindist.pbrt", "samplers/maxmindist.png", 0.04),          # .0228
     ("shapes/triangles-alpha-mask.pbrt", "shapes/triangles-alpha-mask.png", 0.06),
     ("textures/2d-mappings.pbrt", "textures/2d-mappings.png", 0.06),
     ("textures/bilerp.pbrt", "textures/bilerp.png", 0.05),
