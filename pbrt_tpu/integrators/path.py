@@ -85,11 +85,14 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
     # diffusion probe and the hit is the exit interaction
     if flags.has_subsurface:
         from pbrt_tpu.materials import bssrdf as SSS
+        sss_radii = jnp.asarray(SSS.radii_knots())
         sss_pending = jnp.zeros((n,), bool)
         sss_entry_p = o
         sss_entry_mat = jnp.full((n,), -1, jnp.int32)
-        sss_d3 = jnp.ones((n, 3), jnp.float32)
-        sss_rho3 = jnp.zeros((n, 3), jnp.float32)
+        # entry shading frame for the 3-axis pdf_sp (tabulated_bssrdf.rs:369)
+        sss_f_ss = jnp.zeros((n, 3), jnp.float32)
+        sss_f_ts = jnp.zeros((n, 3), jnp.float32)
+        sss_f_ns = jnp.zeros((n, 3), jnp.float32)
         sss_kd_adapter = jnp.zeros((n,), jnp.float32)
 
     # ray time drives animated instance transforms (camera u_time, dim 4 —
@@ -103,10 +106,30 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
     for bounce in range(max_depth + 1):
         base = bounce_base(bounce)
         if flags.has_subsurface:
-            # exit interaction for pending probes: Sp(dist)/pdf_sp reweights
-            dist = vm.length(si.p - sss_entry_p)
-            sp = SSS.sr_profile(dist[:, None], sss_d3, sss_rho3)
-            pdf_sp = jnp.mean(SSS.sr_pdf(dist[:, None], sss_d3), axis=-1)
+            # exit interaction for pending probes: Sp(dist)/pdf_sp with the
+            # tabulated profile and the reference's 3-axis x 3-channel MIS
+            # (tabulated_bssrdf.rs sp :186, pdf_sp :369)
+            emat = jnp.maximum(sss_entry_mat, 0)
+            e_prof = vm.gather_rows(data.mats.sss_prof, emat)   # [N,3,64]
+            e_reff = data.mats.sss_rhoeff[emat]
+            e_st = data.mats.sss[emat][:, 1:4]
+            d_vec = si.p - sss_entry_p
+            dist = vm.length(d_vec)
+            sp = SSS.table_sr(e_prof, e_st, dist)
+            d_loc = jnp.stack([dot(d_vec, sss_f_ss), dot(d_vec, sss_f_ts),
+                               dot(d_vec, sss_f_ns)], -1)
+            n_loc = jnp.stack([dot(si.ns, sss_f_ss), dot(si.ns, sss_f_ts),
+                               dot(si.ns, sss_f_ns)], -1)
+            r_proj = jnp.stack([
+                jnp.sqrt(d_loc[:, 1] ** 2 + d_loc[:, 2] ** 2),
+                jnp.sqrt(d_loc[:, 2] ** 2 + d_loc[:, 0] ** 2),
+                jnp.sqrt(d_loc[:, 0] ** 2 + d_loc[:, 1] ** 2)], -1)
+            axis_prob = jnp.array([0.25, 0.25, 0.5], jnp.float32)
+            pdf_sp = jnp.zeros((n,), jnp.float32)
+            for ax in range(3):
+                pdfs = SSS.table_pdf_sr(e_prof, e_reff, e_st, r_proj[:, ax])
+                pdf_sp = pdf_sp + jnp.sum(pdfs, -1) / 3.0 \
+                    * jnp.abs(n_loc[:, ax]) * axis_prob[ax]
             good = sss_pending & si.valid & (si.material == sss_entry_mat)
             beta = jnp.where(good[:, None],
                              beta * sp / jnp.maximum(pdf_sp, 1e-12)[:, None], beta)
@@ -198,32 +221,54 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         t_max = jnp.full((n,), vm.INF)
         if flags.has_subsurface:
             # boundary transmission into a subsurface material launches the
-            # diffusion probe (sample_sp disk sampling, single-axis variant)
+            # diffusion probe: axis + channel from one random (the
+            # reference's sample_sp axis split .25/.25/.5 + uniform channel,
+            # tabulated_bssrdf.rs:278-340), radius from the tabulated
+            # beam-diffusion CDF
             transmitted = (bs.wi[:, 2] * wo_local[:, 2]) < 0.0
             wo_outside = dot(si.wo, si.ns) > 0.0
             entering = ok & lobes.sss_flag & transmitted & wo_outside & ~sss_here
-            u_ch = sample_dim_(base + 8)
+            u_ax = sample_dim_(base + 8)
             u_r = sample_dim_(base + 9)
             u_phi = sample_dim_(base + 10)
+            u_ch = sample_dim_(base + 11)
+            # probe frame: axis 2 (ns) with p=1/2, ss/ts with p=1/4 each
+            pick_ss = u_ax < 0.25
+            pick_ts = (u_ax >= 0.25) & (u_ax < 0.5)
+            vz = jnp.where(pick_ss[:, None], si.ss,
+                           jnp.where(pick_ts[:, None], si.ts, si.ns))
+            vx = jnp.where(pick_ss[:, None], si.ts,
+                           jnp.where(pick_ts[:, None], si.ns, si.ss))
+            vy = jnp.where(pick_ss[:, None], si.ns,
+                           jnp.where(pick_ts[:, None], si.ss, si.ts))
+            mid = jnp.maximum(si.material, 0)
+            m_cdf = vm.gather_rows(data.mats.sss_cdf, mid)     # [N,3,64]
+            m_reff = data.mats.sss_rhoeff[mid]
+            m_st = data.mats.sss[mid][:, 1:4]
             ch = jnp.clip((u_ch * 3.0).astype(jnp.int32), 0, 2)
-            d_ch = jnp.take_along_axis(lobes.sss_d, ch[:, None], -1)[:, 0]
-            r = SSS.sr_sample(u_r, d_ch)
-            rmax = SSS.sr_sample_max(d_ch)
+            st_ch = jnp.take_along_axis(m_st, ch[:, None], -1)[:, 0]
+            reff_ch = jnp.take_along_axis(m_reff, ch[:, None], -1)[:, 0]
+            cdf_ch = jnp.take_along_axis(
+                m_cdf, ch[:, None, None].repeat(64, -1), 1)[:, 0]
+            r = SSS.table_sample_sr(cdf_ch, reff_ch, st_ch, sss_radii, u_r)
+            rmax = SSS.table_sample_sr(cdf_ch, reff_ch, st_ch, sss_radii,
+                                       jnp.full((n,), 0.999))
             r = jnp.minimum(r, 0.999 * rmax)
             h = jnp.sqrt(jnp.maximum(rmax * rmax - r * r, 1e-12))
             phi = 2.0 * jnp.pi * u_phi
-            disk = (r * jnp.cos(phi))[:, None] * si.ss \
-                + (r * jnp.sin(phi))[:, None] * si.ts
-            probe_o = si.p + disk + h[:, None] * si.ns
-            probe_d = -si.ns
+            disk = (r * jnp.cos(phi))[:, None] * vx \
+                + (r * jnp.sin(phi))[:, None] * vy
+            probe_o = si.p + disk + h[:, None] * vz
+            probe_d = -vz
             o = jnp.where(entering[:, None], probe_o, o)
             d = jnp.where(entering[:, None], probe_d, d)
             t_max = jnp.where(entering, 2.0 * h, t_max)
             sss_pending = entering
             sss_entry_p = jnp.where(entering[:, None], si.p, sss_entry_p)
             sss_entry_mat = jnp.where(entering, si.material, sss_entry_mat)
-            sss_d3 = jnp.where(entering[:, None], lobes.sss_d, sss_d3)
-            sss_rho3 = jnp.where(entering[:, None], lobes.sss_rho, sss_rho3)
+            sss_f_ss = jnp.where(entering[:, None], si.ss, sss_f_ss)
+            sss_f_ts = jnp.where(entering[:, None], si.ts, sss_f_ts)
+            sss_f_ns = jnp.where(entering[:, None], si.ns, sss_f_ns)
             c_norm = 1.0 - 2.0 * SSS.fresnel_moment1(1.0 / lobes.eta)
             kd_ad = jnp.clip((1.0 - 2.0 * SSS.fresnel_moment1(lobes.eta))
                              / jnp.maximum(c_norm, 1e-3), 0.0, 1.0)

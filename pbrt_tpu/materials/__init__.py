@@ -51,6 +51,12 @@ class MaterialTable(NamedTuple):
     misc: jnp.ndarray       # [M, 8]
     child: jnp.ndarray      # [M, 2] mix children
     sss: jnp.ndarray        # [M, 7] (flag, sigma_t rgb, albedo rho rgb)
+    # tabulated beam-diffusion profile rows, collapsed to the material's
+    # per-channel albedo at build (tabulated_bssrdf.rs BSSRDFTable; see
+    # materials/bssrdf.py dense_channel_rows)
+    sss_prof: jnp.ndarray   # [M, 3, 64]
+    sss_cdf: jnp.ndarray    # [M, 3, 64]
+    sss_rhoeff: jnp.ndarray  # [M, 3]
 
 
 def compile_materials(decls, tex_name_to_id=None, cwd="."):
@@ -63,6 +69,9 @@ def compile_materials(decls, tex_name_to_id=None, cwd="."):
     misc = np.zeros((M, 8), np.float32)
     child = np.full((M, 2), -1, np.int32)
     sss = np.zeros((M, 7), np.float32)
+    sss_prof = np.zeros((M, 3, 64), np.float32)
+    sss_cdf = np.zeros((M, 3, 64), np.float32)
+    sss_rhoeff = np.zeros((M, 3), np.float32)
     fourier_tables = []
 
     slot_names = ["Kd", "Ks", "Kr", "Kt", "roughness", "uroughness",
@@ -152,17 +161,29 @@ def compile_materials(decls, tex_name_to_id=None, cwd="."):
                 st = (sa + sp) * scale
                 rho = np.where(st > 0, sp * scale / np.maximum(st, 1e-12), 0.0)
             else:  # kdsubsurface.rs: Kd + mean free path
-                rho = np.clip(np.asarray(ps.find_one_rgb("Kd", [0.5] * 3), np.float32), 0, 1)
+                kd_r = np.clip(np.asarray(ps.find_one_rgb("Kd", [0.5] * 3),
+                                          np.float32), 0, 1)
                 mfp = ps.find_one_float("mfp", 1.0)
+                # subsurface_from_diffuse (tabulated_bssrdf.rs:543): albedo
+                # whose beam-diffusion EFFECTIVE albedo equals Kd
+                rho = SSS.invert_rho_eff(kd_r).astype(np.float32)
                 st = np.full(3, 1.0 / max(mfp * scale, 1e-6), np.float32)
             sss[i, 0] = 1.0
             sss[i, 1:4] = np.maximum(st, 1e-6)
             sss[i, 4:7] = rho
+            g_hg = ps.find_one_float("g", 0.0)
+            prow, crow, reff = SSS.dense_channel_rows(
+                sss[i, 1:4], rho, g=float(g_hg), eta=float(misc[i, 0] or 1.33))
+            sss_prof[i] = prow
+            sss_cdf[i] = crow
+            sss_rhoeff[i] = reff
 
     has_tex_slot = tuple(bool((tex[:, s] >= 0).any()) for s in range(N_SLOTS))
     return MaterialTable(jnp.asarray(kind), jnp.asarray(tex), jnp.asarray(const),
                          jnp.asarray(misc), jnp.asarray(child),
-                         jnp.asarray(sss)), has_tex_slot, fourier_tables
+                         jnp.asarray(sss), jnp.asarray(sss_prof),
+                         jnp.asarray(sss_cdf),
+                         jnp.asarray(sss_rhoeff)), has_tex_slot, fourier_tables
 
 
 def _remap(rough, do_remap):

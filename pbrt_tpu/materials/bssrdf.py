@@ -5,18 +5,22 @@ core/src/reflection/tabulated_bssrdf.rs (TabulatedBSSRDF + BSSRDFTable beam
 diffusion precompute + sample_s/sample_sp/pdf_sp) and
 core/src/medium/measured_ss.rs (named media coefficients).
 
-TPU re-design: the reference precomputes a (rho, radius) beam-diffusion table
-at startup and samples it with Catmull-Rom inversion — a scalar,
-data-dependent search per event. Here the radial profile is the
-Christensen-Burley normalized diffusion approximation, which matches the
-beam-diffusion profile closely and has CLOSED-FORM eval / pdf / (numeric but
-fixed-iteration) inverse-CDF sampling — every lane evaluates the same handful
-of exp()s, ideal for lockstep wavefronts. Same separable factorization
-S = (1-Fr) Sp Sw and the same per-channel importance sampling over RGB.
+TPU re-design: the reference precomputes a (rho, radius) photon-beam-
+diffusion table at startup and samples it per event with Catmull-Rom
+spline searches. Here the SAME table is computed at build
+(build_bssrdf_table — beam_diffusion_ss/ms ports of
+tabulated_bssrdf.rs:607,640) and then COLLAPSED per material channel at
+the material's albedo (dense_channel_rows), so the device side only does
+closed-form-indexed linear interpolation over the 64 geometric radius
+knots and a 64-entry CDF inversion — lockstep-friendly, no per-lane
+spline search. Transport keeps the separable factorization
+S = (1-Fr) Sp Sw, the reference's 3-axis probe MIS and per-channel
+importance sampling (see integrators/path.py). The Burley closed-form
+profile remains below as a cheap fallback/reference.
 
-Measured sigma_a / sigma_s' coefficients are the published Jensen et al. 2001
-"A Practical Model for Subsurface Light Transport" values (the same data the
-reference embeds in measured_ss.rs).
+Measured sigma_a / sigma_s' coefficients are the full 47-entry published
+table (Jensen et al. 2001; Narasimhan et al. 2006) the reference embeds
+in measured_ss.rs, extracted to data_measured_ss.json.
 """
 from __future__ import annotations
 
@@ -25,20 +29,15 @@ import jax.numpy as jnp
 
 # name -> (sigma_prime_s RGB [1/mm], sigma_a RGB [1/mm]) — Jensen et al. 2001,
 # Table 1 (also the head entries of measured_ss.rs).
-MEASURED_SS = {
-    "Apple": ([2.29, 2.39, 1.97], [0.0030, 0.0034, 0.046]),
-    "Chicken1": ([0.15, 0.21, 0.38], [0.015, 0.077, 0.19]),
-    "Chicken2": ([0.19, 0.25, 0.32], [0.018, 0.088, 0.20]),
-    "Cream": ([7.38, 5.47, 3.15], [0.0002, 0.0028, 0.0163]),
-    "Ketchup": ([0.18, 0.07, 0.03], [0.061, 0.97, 1.45]),
-    "Marble": ([2.19, 2.62, 3.00], [0.0021, 0.0041, 0.0071]),
-    "Potato": ([0.68, 0.70, 0.55], [0.0024, 0.0090, 0.12]),
-    "Skimmilk": ([0.70, 1.22, 1.90], [0.0014, 0.0025, 0.0142]),
-    "Skin1": ([0.74, 0.88, 1.01], [0.032, 0.17, 0.48]),
-    "Skin2": ([1.09, 1.59, 1.79], [0.013, 0.070, 0.145]),
-    "Spectralon": ([11.6, 20.4, 14.9], [0.00, 0.00, 0.00]),
-    "Wholemilk": ([2.55, 3.21, 3.77], [0.0011, 0.0024, 0.014]),
-}
+import json as _json
+import os as _os
+
+with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        "data_measured_ss.json")) as _f:
+    # full 47-entry published table (Jensen et al. 2001 + Narasimhan et
+    # al. 2006 dilution measurements — the same data measured_ss.rs embeds);
+    # values are (sigma_prime_s RGB, sigma_a RGB) in 1/mm
+    MEASURED_SS = {k: tuple(v) for k, v in _json.load(_f).items()}
 
 
 def get_medium_scattering_properties(name: str):
@@ -152,3 +151,272 @@ def kdsubsurface_remap(kd, mfp):
     # invert A(rho): effective albedo of the profile equals rho itself for
     # normalized diffusion, so rho = rho_eff and sigma_t = 1/mfp
     return 1.0 / jnp.maximum(mfp, 1e-6), rho_eff
+
+
+# ---------------------------------------------------------------------------
+# Tabulated beam-diffusion profile (tabulated_bssrdf.rs:505-688)
+#
+# Host precompute, numpy: the (rho, radius) photon-beam-diffusion table of
+# the reference, then a PER-MATERIAL-CHANNEL dense radial row extracted at
+# the material's albedo — the TPU replacement for per-lane Catmull-Rom
+# spline machinery. Device code linearly interpolates the dense row (the
+# radii are geometric with ratio 1.2, so r -> knot index is closed-form).
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+PBD_SAMPLES = 100
+N_RHO = 100
+N_RADII = 64
+_R0 = 2.5e-3
+_RATIO = 1.2
+
+
+def _np_fr_dielectric(cos_i, eta_i, eta_t):
+    cos_i = np.clip(cos_i, -1.0, 1.0)
+    flip = cos_i < 0
+    ei = np.where(flip, eta_t, eta_i)
+    et = np.where(flip, eta_i, eta_t)
+    ci = np.abs(cos_i)
+    sin_t2 = (ei / et) ** 2 * np.maximum(1.0 - ci * ci, 0.0)
+    ct = np.sqrt(np.maximum(1.0 - sin_t2, 0.0))
+    rpar = (et * ci - ei * ct) / np.maximum(et * ci + ei * ct, 1e-12)
+    rper = (ei * ci - et * ct) / np.maximum(ei * ci + et * ct, 1e-12)
+    fr = 0.5 * (rpar ** 2 + rper ** 2)
+    return np.where(sin_t2 >= 1.0, 1.0, fr)
+
+
+def _np_phase_hg(cos_t, g):
+    d = 1.0 + g * g + 2.0 * g * cos_t
+    return (1.0 / (4.0 * np.pi)) * (1.0 - g * g) / (d * np.sqrt(np.maximum(d, 1e-12)))
+
+
+def _np_fm1(eta):
+    e2, e3, e4, e5 = eta * eta, eta ** 3, eta ** 4, eta ** 5
+    if eta < 1.0:
+        return (0.45966 - 1.73965 * eta + 3.37668 * e2 - 3.904945 * e3
+                + 2.49277 * e4 - 0.68441 * e5)
+    return (-4.61686 + 11.1136 * eta - 10.4646 * e2 + 5.11455 * e3
+            - 1.27198 * e4 + 0.12746 * e5)
+
+
+def _np_fm2(eta):
+    e2, e3, e4, e5 = eta * eta, eta ** 3, eta ** 4, eta ** 5
+    if eta < 1.0:
+        return (0.27614 - 0.87350 * eta + 1.12077 * e2 - 0.65095 * e3
+                - 0.07883 * e4 + 0.04860 * e5)
+    return (-547.033 + 45.3087 / e3 - 218.725 / e2 + 458.843 / eta
+            + 404.557 * eta - 189.519 * e2 + 54.9327 * e3 - 9.00603 * e4
+            + 0.63942 * e5)
+
+
+def beam_diffusion_ss(sigma_s, sigma_a, g, eta, r):
+    """Single-scattering term (tabulated_bssrdf.rs:607)."""
+    sigma_t = sigma_a + sigma_s
+    rho = sigma_s / sigma_t
+    t_crit = r * np.sqrt(max(eta * eta - 1.0, 0.0))
+    i = np.arange(PBD_SAMPLES) + 0.5
+    ti = t_crit - np.log(1.0 - i / PBD_SAMPLES) / sigma_t
+    d = np.sqrt(r * r + ti * ti)
+    cos_o = ti / d
+    e = (rho * np.exp(-sigma_t * (d + t_crit)) / (d * d)
+         * _np_phase_hg(cos_o, g)
+         * (1.0 - _np_fr_dielectric(-cos_o, 1.0, eta)) * np.abs(cos_o))
+    return float(e.sum() / PBD_SAMPLES)
+
+
+def beam_diffusion_ms(sigma_s, sigma_a, g, eta, r):
+    """Multiple-scattering dipole term (tabulated_bssrdf.rs:640)."""
+    sigmap_s = sigma_s * (1.0 - g)
+    sigmap_t = sigma_a + sigmap_s
+    rhop = sigmap_s / sigmap_t
+    d_g = (2.0 * sigma_a + sigmap_s) / (3.0 * sigmap_t * sigmap_t)
+    sigma_tr = np.sqrt(sigma_a / d_g)
+    fm1, fm2 = _np_fm1(eta), _np_fm2(eta)
+    ze = -2.0 * d_g * (1.0 + 3.0 * fm2) / (1.0 - 2.0 * fm1)
+    c_phi = 0.25 * (1.0 - 2.0 * fm1)
+    c_e = 0.5 * (1.0 - 3.0 * fm2)
+    i = np.arange(PBD_SAMPLES) + 0.5
+    zr = -np.log(1.0 - i / PBD_SAMPLES) / sigmap_t
+    zv = -zr + 2.0 * ze
+    dr = np.sqrt(r * r + zr * zr)
+    dv = np.sqrt(r * r + zv * zv)
+    phi_d = (1.0 / (4.0 * np.pi)) / d_g * (np.exp(-sigma_tr * dr) / dr
+                                           - np.exp(-sigma_tr * dv) / dv)
+    edn = (1.0 / (4.0 * np.pi)) * (
+        zr * (1.0 + sigma_tr * dr) * np.exp(-sigma_tr * dr) / dr ** 3
+        - zv * (1.0 + sigma_tr * dv) * np.exp(-sigma_tr * dv) / dv ** 3)
+    e = phi_d * c_phi + edn * c_e
+    kappa = 1.0 - np.exp(-2.0 * sigmap_t * (dr + zr))
+    return float((kappa * rhop * rhop * e).sum() / PBD_SAMPLES)
+
+
+def _catmull_rom_weights(nodes, x):
+    """(offset, w[4]) spline weights (core/src/interpolation.rs)."""
+    n = len(nodes)
+    if not (x >= nodes[0] and x <= nodes[-1]):
+        return None
+    i = np.searchsorted(nodes, x, side="right") - 1
+    i = min(max(i, 0), n - 2)
+    x0, x1 = nodes[i], nodes[i + 1]
+    t = (x - x0) / (x1 - x0) if x1 > x0 else 0.0
+    t2, t3 = t * t, t * t * t
+    w = np.zeros(4)
+    w[1] = 2 * t3 - 3 * t2 + 1
+    w[2] = -2 * t3 + 3 * t2
+    if i > 0:
+        w0 = (t3 - 2 * t2 + t) * (x1 - x0) / (x1 - nodes[i - 1])
+        w[0] = -w0
+        w[2] += w0
+    else:
+        w0 = t3 - 2 * t2 + t
+        w[1] -= w0
+        w[2] += w0
+    if i + 2 < n:
+        w3 = (t3 - t2) * (x1 - x0) / (nodes[i + 2] - x0)
+        w[3] = w3
+        w[1] -= w3
+    else:
+        w3 = t3 - t2
+        w[2] += w3
+        w[3] -= w3
+    return i - 1, w
+
+
+def _integrate_catmull_rom(x, v):
+    """(cdf, total) of the piecewise spline (interpolation.rs
+    integrate_catmull_rom)."""
+    n = len(x)
+    cdf = np.zeros(n)
+    total = 0.0
+    for i in range(n - 1):
+        x0, x1 = x[i], x[i + 1]
+        f0, f1 = v[i], v[i + 1]
+        width = x1 - x0
+        if i > 0:
+            d0 = width * (v[i + 1] - v[i - 1]) / (x1 - x[i - 1])
+        else:
+            d0 = f1 - f0
+        if i + 2 < n:
+            d1 = width * (v[i + 2] - v[i]) / (x[i + 2] - x0)
+        else:
+            d1 = f1 - f0
+        total += ((d0 - d1) * (1.0 / 12.0) + (f0 + f1) * 0.5) * width
+        cdf[i + 1] = total
+    return cdf, total
+
+
+@_functools.lru_cache(maxsize=4)
+def build_bssrdf_table(g: float = 0.0, eta: float = 1.33):
+    """(rho[100], radii[64], profile[100,64], cdf[100,64], rho_eff[100]) —
+    the reference's BSSRDFTable::compute_beam_diffusion."""
+    radii = np.zeros(N_RADII)
+    radii[1] = _R0
+    for i in range(2, N_RADII):
+        radii[i] = radii[i - 1] * _RATIO
+    rho = (1.0 - np.exp(-8.0 * np.arange(N_RHO) / (N_RHO - 1))) \
+        / (1.0 - np.exp(-8.0))
+    profile = np.zeros((N_RHO, N_RADII))
+    cdf = np.zeros((N_RHO, N_RADII))
+    rho_eff = np.zeros(N_RHO)
+    for i, rh in enumerate(rho):
+        if rh > 0:
+            for j, r in enumerate(radii):
+                profile[i, j] = 2.0 * np.pi * r * (
+                    beam_diffusion_ss(rh, 1.0 - rh, g, eta, r)
+                    + beam_diffusion_ms(rh, 1.0 - rh, g, eta, r))
+        cdf[i], rho_eff[i] = _integrate_catmull_rom(radii, profile[i])
+    return rho, radii, profile, cdf, rho_eff
+
+
+def invert_rho_eff(rho_eff_target, g=0.0, eta=1.33):
+    """Albedo rho whose EFFECTIVE albedo matches the target
+    (subsurface_from_diffuse / invert_catmull_rom). Vector over channels."""
+    rho, _, _, _, rho_eff = build_bssrdf_table(g, eta)
+    return np.interp(np.clip(rho_eff_target, 0.0, rho_eff[-1]), rho_eff, rho)
+
+
+def dense_channel_rows(sigma_t, rho_ch, g=0.0, eta=1.33):
+    """Per-channel (profile[3,64], cdf[3,64], rho_eff[3]) rows at the
+    material's albedos: the (rho, radius) table collapsed along rho with
+    Catmull-Rom weights so device code only interpolates in radius."""
+    rho, radii, profile, cdf, rho_eff = build_bssrdf_table(g, eta)
+    prow = np.zeros((3, N_RADII), np.float32)
+    crow = np.zeros((3, N_RADII), np.float32)
+    reff = np.zeros((3,), np.float32)
+    for c in range(3):
+        wr = _catmull_rom_weights(rho, float(np.clip(rho_ch[c], 0.0, 1.0)))
+        if wr is None:
+            continue
+        off, w = wr
+        for k in range(4):
+            idx = off + k
+            if 0 <= idx < N_RHO and w[k] != 0.0:
+                prow[c] += w[k] * profile[idx]
+                crow[c] += w[k] * cdf[idx]
+                reff[c] += w[k] * rho_eff[idx]
+    # numerical guard: CDFs must be monotone for inversion
+    crow = np.maximum.accumulate(np.maximum(crow, 0.0), axis=1)
+    return prow, crow, reff
+
+
+# radii knots as a device constant (shared by all materials)
+def radii_knots():
+    _, radii, _, _, _ = build_bssrdf_table()
+    return np.asarray(radii, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# device-side dense-row eval / sampling (replaces per-lane spline search)
+# ---------------------------------------------------------------------------
+
+def _radius_interp(radii, rows, r_opt):
+    """Linear interp of per-lane rows [N,64] at optical radius r_opt [N]."""
+    # knots are geometric past knot 1: index = log(r/r0)/log(ratio) + 1
+    li = jnp.log(jnp.maximum(r_opt, 1e-12) / _R0) / np.log(_RATIO) + 1.0
+    li = jnp.clip(jnp.where(r_opt <= _R0, r_opt / _R0, li), 0.0, N_RADII - 1.001)
+    i0 = li.astype(jnp.int32)
+    fr = li - i0
+    v0 = jnp.take_along_axis(rows, i0[:, None], axis=1)[:, 0]
+    v1 = jnp.take_along_axis(rows, jnp.minimum(i0 + 1, N_RADII - 1)[:, None],
+                             axis=1)[:, 0]
+    return v0 * (1.0 - fr) + v1 * fr
+
+
+def table_sr(prof_rows, sigma_t, r):
+    """Sr(r) [N,3] from per-lane dense rows [N,3,64] (tabulated sr())."""
+    out = []
+    for c in range(3):
+        st = sigma_t[:, c]
+        r_opt = r * st
+        v = _radius_interp(None, prof_rows[:, c], r_opt)
+        v = jnp.where(r_opt > 1e-9, v / (2.0 * jnp.pi * jnp.maximum(r_opt, 1e-9)), v)
+        out.append(jnp.maximum(v * st * st, 0.0))
+    return jnp.stack(out, -1)
+
+
+def table_pdf_sr(prof_rows, rhoeff, sigma_t, r, ch_onehot=None):
+    """Polar pdf of sample_sr per channel [N,3] (tabulated pdf_sr)."""
+    out = []
+    for c in range(3):
+        st = sigma_t[:, c]
+        r_opt = r * st
+        v = _radius_interp(None, prof_rows[:, c], r_opt)
+        v = jnp.where(r_opt > 1e-9, v / (2.0 * jnp.pi * jnp.maximum(r_opt, 1e-9)), 0.0)
+        out.append(jnp.maximum(v * st * st / jnp.maximum(rhoeff[:, c], 1e-9), 0.0))
+    return jnp.stack(out, -1)
+
+
+def table_sample_sr(cdf_rows, rhoeff, sigma_t_ch, radii, u):
+    """Invert the per-lane channel CDF row [N,64]: world radius [N]
+    (tabulated sample_sr; monotone rows from dense_channel_rows)."""
+    target = u * jnp.maximum(rhoeff, 1e-12)
+    idx = jnp.clip(jnp.sum((cdf_rows < target[:, None]).astype(jnp.int32), -1) - 1,
+                   0, N_RADII - 2)
+    c0 = jnp.take_along_axis(cdf_rows, idx[:, None], 1)[:, 0]
+    c1 = jnp.take_along_axis(cdf_rows, (idx + 1)[:, None], 1)[:, 0]
+    r0 = radii[idx]
+    r1 = radii[idx + 1]
+    fr = jnp.clip((target - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0, 1.0)
+    r_opt = r0 + fr * (r1 - r0)
+    return r_opt / jnp.maximum(sigma_t_ch, 1e-9)
