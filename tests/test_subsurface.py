@@ -31,6 +31,7 @@ WorldEnd
 """
 
 
+@pytest.mark.heavy
 def test_subsurface_scene_renders_light():
     img = render(load_scene_string(SSS_SCENE))
     assert np.isfinite(img).all()
@@ -40,6 +41,7 @@ def test_subsurface_scene_renders_light():
     assert 0.05 < center < 3.0, center
 
 
+@pytest.mark.heavy
 def test_kdsubsurface_compiles_and_is_finite():
     scene = SSS_SCENE.replace(
         'Material "subsurface" "string name" "Marble" "float scale" 2',

@@ -51,6 +51,7 @@ def _center_lum(img):
     return float(img[h // 2 - 1:h // 2 + 1, w // 2 - 1:w // 2 + 1].mean())
 
 
+@pytest.mark.heavy
 def test_shadow_through_null_interface_attenuates():
     """Plane point under the sphere: chord length 2 -> Tr = exp(-2 sigma)."""
     img_clear = render(load_scene_string(scene(False)))
