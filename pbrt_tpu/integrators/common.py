@@ -100,7 +100,9 @@ def prepare_one_light(cs, si, lobes, active, u_sel, u_light):
                       data.world_center, data.world_radius)
     wi_local = si.world_to_local(ls.wi)
     wo_local = si.world_to_local(si.wo)
-    f = B.bsdf_f(lobes, wo_local, wi_local, ftab) * vm.absdot(ls.wi, si.ns)[:, None]
+    fams = cs.flags.bsdf_fams
+    f = B.bsdf_f(lobes, wo_local, wi_local, ftab,
+                 fams=fams) * vm.absdot(ls.wi, si.ns)[:, None]
     contributes = active & (ls.pdf > 0.0) & ~B.black(f) & ~B.black(ls.li) & (pmf > 0.0)
 
     # shadow ray geometry (VisibilityTester::unoccluded, visibility_tester.rs)
@@ -110,7 +112,7 @@ def prepare_one_light(cs, si, lobes, active, u_sel, u_light):
     sd = to_l / jnp.maximum(dist, 1e-12)[:, None]
 
     # MIS: delta lights skip the heuristic (estimate_direct)
-    pdf_b = B.bsdf_pdf(lobes, wo_local, wi_local, ftab)
+    pdf_b = B.bsdf_pdf(lobes, wo_local, wi_local, ftab, fams=fams)
     w_l = jnp.where(ls.is_delta, 1.0, power_heuristic(1.0, ls.pdf * pmf, 1.0, pdf_b))
     denom = jnp.maximum(ls.pdf * pmf, 1e-12)
     ld = f * ls.li * (w_l / denom)[:, None]

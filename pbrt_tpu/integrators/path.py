@@ -203,7 +203,8 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         u_dir = sample_2d_(base + 5)
         wo_local = si.world_to_local(si.wo)
         bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir,
-                           data.fourier if flags.has_fourier else None)
+                           data.fourier if flags.has_fourier else None,
+                           fams=flags.bsdf_fams)
         wi_world = si.local_to_world(bs.wi)
         cos_w = vm.absdot(wi_world, si.ns)
         ok = active & (bs.pdf > 0.0) & ~B.black(bs.f)

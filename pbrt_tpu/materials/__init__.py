@@ -295,3 +295,52 @@ def compute_lobes(mats: MaterialTable, tex: TextureTable, mat_id, uv, p,
         sss_flag=sssr[:, 0] > 0.5, sss_d=sss_d, sss_rho=sss_rho,
         fourier_id=jnp.where(kindv == M_FOURIER,
                              misc[:, 2].astype(jnp.int32), -1))
+
+
+def material_families(decls):
+    """Static lobe-family presence for the scene's material set
+    -> (dift, glossy, glossy_t, oren, spec).
+
+    bsdf_f/pdf/sample skip an entire family's arithmetic when no material
+    in the scene can populate it (the wavefront analog of the reference
+    only pushing matching BxDFs into a surface's BSDF). Conservative: a
+    textured or nonzero parameter keeps the family on.
+    """
+    dift = glossy = glossy_t = oren = spec = False
+    for d in decls:
+        k = d.kind
+        ps = d.params
+
+        def has(name, default=0.0):
+            vals = ps.as_plain_dict().get(name)
+            if vals is None:
+                return default != 0.0
+            if isinstance(vals[0], str):
+                return True          # textured
+            return any(abs(float(v)) > 1e-9 for v in vals)
+
+        if k == "matte":
+            oren |= has("sigma")
+        elif k in ("plastic", "metal", "substrate"):
+            glossy = True
+        elif k == "glass":
+            spec = True
+            if has("roughness") or has("uroughness") or has("vroughness"):
+                glossy = glossy_t = True
+        elif k == "mirror":
+            spec = True
+        elif k == "translucent":
+            dift = glossy = glossy_t = True
+        elif k == "uber":
+            glossy = spec = True
+            oren |= has("sigma")
+        elif k in ("subsurface", "kdsubsurface"):
+            spec = True
+            if has("roughness") or has("uroughness"):
+                glossy = glossy_t = True
+        elif k in ("fourier", "mix"):
+            pass                     # fourier gated by ftab; mix children
+                                     # appear as their own decls
+        else:
+            dift = glossy = glossy_t = oren = spec = True
+    return (dift, glossy, glossy_t, oren, spec)

@@ -321,23 +321,37 @@ def _glossy_t_f(lb: Lobes, wo, wi):
     return jnp.where(ok[..., None], val, 0.0)
 
 
-def bsdf_f(lb: Lobes, wo, wi, ftab=None):
+ALL_FAMS = (True, True, True, True, True)
+# fams = (dift, glossy, glossy_t, oren, spec): STATIC per-scene family
+# presence (materials/__init__.py material_families) — an absent family's
+# arithmetic is skipped entirely, the wavefront analog of the reference
+# only pushing matching BxDFs into a surface's BSDF
+
+
+def bsdf_f(lb: Lobes, wo, wi, ftab=None, fams=None):
     """Total non-specular f (specular lobes are delta — excluded, like the
     reference's BSDF::f which skips them implicitly via matching flags).
     ftab: FourierTable when the scene has fourier materials."""
+    dift, glossy, glossy_t, oren, _spec = fams or ALL_FAMS
     refl = same_hemisphere(wo, wi)
     # diffuse reflection
     lam = lb.kd * INV_PI
-    on = _oren_nayar_f(lb.kd, lb.sigma, wo, wi)
-    dif = jnp.where((lb.sigma > 1e-5)[..., None], on, lam)
+    if oren:
+        on = _oren_nayar_f(lb.kd, lb.sigma, wo, wi)
+        dif = jnp.where((lb.sigma > 1e-5)[..., None], on, lam)
+    else:
+        dif = lam
     f = jnp.where(refl[..., None], dif, 0.0)
     # diffuse transmission
-    f = f + jnp.where((~refl)[..., None], lb.kt_diff * INV_PI, 0.0)
+    if dift:
+        f = f + jnp.where((~refl)[..., None], lb.kt_diff * INV_PI, 0.0)
     # glossy
-    has_gloss = ~black(lb.ks) | ~black(lb.rd_blend)
-    f = f + jnp.where(has_gloss[..., None], _glossy_f(lb, wo, wi), 0.0)
-    has_gt = ~black(lb.kt_gloss)
-    f = f + jnp.where(has_gt[..., None], _glossy_t_f(lb, wo, wi), 0.0)
+    if glossy:
+        has_gloss = ~black(lb.ks) | ~black(lb.rd_blend)
+        f = f + jnp.where(has_gloss[..., None], _glossy_f(lb, wo, wi), 0.0)
+    if glossy_t:
+        has_gt = ~black(lb.kt_gloss)
+        f = f + jnp.where(has_gt[..., None], _glossy_t_f(lb, wo, wi), 0.0)
     if ftab is not None:
         from pbrt_tpu.materials.fourier import eval_fourier
         f = f + eval_fourier(ftab, lb.fourier_id, wo, wi)
@@ -360,29 +374,33 @@ def _lobe_weights(lb: Lobes):
     return w / total, present
 
 
-def bsdf_pdf(lb: Lobes, wo, wi, ftab=None):
+def bsdf_pdf(lb: Lobes, wo, wi, ftab=None, fams=None):
     """pdf of non-specular sampling strategies (mixture)."""
+    dift, glossy, glossy_t, _oren, _spec = fams or ALL_FAMS
     w, present = _lobe_weights(lb)
     refl = same_hemisphere(wo, wi)
     # diffuse lobe samples cosine hemisphere on wo's side (or transmission side)
-    has_kt = ~black(lb.kt_diff)
     pd_refl = abs_cos_theta(wi) * INV_PI
-    # translucent: half/half reflect-transmit within the diffuse slot
-    p_dif = jnp.where(has_kt, 0.5 * pd_refl, jnp.where(refl, pd_refl, 0.0))
-    # glossy reflection
-    wh = normalize(jnp.where((vm.length_squared(wo + wi) > 1e-12)[..., None],
-                             wo + wi, jnp.array([0.0, 0, 1.0])))
-    p_gl = mf_pdf(lb.dist, wo, wh, lb.rough_u, lb.rough_v) \
-        / jnp.maximum(4.0 * jnp.abs(dot(wo, wh)), 1e-9)
-    p_gl = jnp.where(refl, p_gl, 0.0)
-    # glossy transmission
-    eta = jnp.where(cos_theta(wo) > 0.0, lb.eta, 1.0 / jnp.maximum(lb.eta, 1e-9))
-    wht = normalize(wo + wi * eta[..., None])
-    dwh_dwi = jnp.abs((eta * eta * dot(wi, wht))
-                      / jnp.maximum((dot(wo, wht) + eta * dot(wi, wht)) ** 2, 1e-12))
-    p_gt = mf_pdf(lb.dist, wo, wht, lb.rough_tu, lb.rough_tv) * dwh_dwi
-    p_gt = jnp.where(~refl, p_gt, 0.0)
-    pdf = w[..., 0] * p_dif + w[..., 2] * p_gl + w[..., 3] * p_gt
+    if dift:
+        # translucent: half/half reflect-transmit within the diffuse slot
+        has_kt = ~black(lb.kt_diff)
+        p_dif = jnp.where(has_kt, 0.5 * pd_refl, jnp.where(refl, pd_refl, 0.0))
+    else:
+        p_dif = jnp.where(refl, pd_refl, 0.0)
+    pdf = w[..., 0] * p_dif
+    if glossy:
+        wh = normalize(jnp.where((vm.length_squared(wo + wi) > 1e-12)[..., None],
+                                 wo + wi, jnp.array([0.0, 0, 1.0])))
+        p_gl = mf_pdf(lb.dist, wo, wh, lb.rough_u, lb.rough_v) \
+            / jnp.maximum(4.0 * jnp.abs(dot(wo, wh)), 1e-9)
+        pdf = pdf + w[..., 2] * jnp.where(refl, p_gl, 0.0)
+    if glossy_t:
+        eta = jnp.where(cos_theta(wo) > 0.0, lb.eta, 1.0 / jnp.maximum(lb.eta, 1e-9))
+        wht = normalize(wo + wi * eta[..., None])
+        dwh_dwi = jnp.abs((eta * eta * dot(wi, wht))
+                          / jnp.maximum((dot(wo, wht) + eta * dot(wi, wht)) ** 2, 1e-12))
+        p_gt = mf_pdf(lb.dist, wo, wht, lb.rough_tu, lb.rough_tv) * dwh_dwi
+        pdf = pdf + w[..., 3] * jnp.where(~refl, p_gt, 0.0)
     return pdf
 
 
@@ -395,12 +413,13 @@ class BsdfSample(NamedTuple):
     eta_scale: jnp.ndarray     # [N] radiance scale factor eta^2 tracking
 
 
-def bsdf_sample(lb: Lobes, wo, u_lobe, u2, ftab=None):
+def bsdf_sample(lb: Lobes, wo, u_lobe, u2, ftab=None, fams=None):
     """Sample one lobe; mirrors BSDF::sample_f (bsdf.rs).
 
     u_lobe: [N] selects the lobe; u2: [N,2] directional sample.
     """
     n = wo.shape[0]
+    F_dift, F_glossy, F_glossy_t, _F_oren, F_spec = fams or ALL_FAMS
     w, present = _lobe_weights(lb)
     cdf = jnp.cumsum(w, axis=-1)
     sel = jnp.sum((cdf <= u_lobe[..., None]).astype(jnp.int32), -1)  # 0..4
@@ -413,47 +432,67 @@ def bsdf_sample(lb: Lobes, wo, u_lobe, u2, ftab=None):
     # --- diffuse: cosine hemisphere (with translucent two-sidedness) ---
     wi_d = cosine_sample_hemisphere(u2)
     wi_d = jnp.where((cos_theta(wo) < 0.0)[..., None], -wi_d, wi_d)
-    has_kt = ~black(lb.kt_diff)
-    go_trans = has_kt & (u_re < 0.5)
-    wi_d = jnp.where(go_trans[..., None],
-                     vec3(wi_d[..., 0], wi_d[..., 1], -wi_d[..., 2]), wi_d)
+    if F_dift:
+        has_kt = ~black(lb.kt_diff)
+        go_trans = has_kt & (u_re < 0.5)
+        wi_d = jnp.where(go_trans[..., None],
+                         vec3(wi_d[..., 0], wi_d[..., 1], -wi_d[..., 2]), wi_d)
+    else:
+        go_trans = jnp.zeros(n, bool)
+
+    wo_up = jnp.where((cos_theta(wo) < 0.0)[..., None], -wo, wo)
+    cos_o = cos_theta(wo)
+    eta_t = jnp.where(cos_o > 0.0, 1.0 / jnp.maximum(lb.eta, 1e-9), lb.eta)
 
     # --- glossy reflection: sample wh, reflect ---
-    wo_up = jnp.where((cos_theta(wo) < 0.0)[..., None], -wo, wo)
-    wh = mf_sample_wh(lb.dist, wo_up, u2, lb.rough_u, lb.rough_v)
-    wh = jnp.where((cos_theta(wo) < 0.0)[..., None], -wh, wh)
-    wi_g = 2.0 * dot(wo, wh)[..., None] * wh - wo
+    if F_glossy:
+        wh = mf_sample_wh(lb.dist, wo_up, u2, lb.rough_u, lb.rough_v)
+        wh = jnp.where((cos_theta(wo) < 0.0)[..., None], -wh, wh)
+        wi_g = 2.0 * dot(wo, wh)[..., None] * wh - wo
+    else:
+        wh = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wo.shape)
+        wi_g = wi_d
 
     # --- glossy transmission ---
-    wht = mf_sample_wh(lb.dist, wo_up, u2, lb.rough_tu, lb.rough_tv)
-    wht = jnp.where((cos_theta(wo) < 0.0)[..., None], -wht, wht)
-    eta_t = jnp.where(cos_theta(wo) > 0.0, 1.0 / jnp.maximum(lb.eta, 1e-9), lb.eta)
-    ok_t, wi_t = refract(wo, jnp.where((dot(wo, wht) < 0)[..., None], -wht, wht), eta_t)
+    if F_glossy_t:
+        wht = mf_sample_wh(lb.dist, wo_up, u2, lb.rough_tu, lb.rough_tv)
+        wht = jnp.where((cos_theta(wo) < 0.0)[..., None], -wht, wht)
+        ok_t, wi_t = refract(wo, jnp.where((dot(wo, wht) < 0)[..., None],
+                                           -wht, wht), eta_t)
+    else:
+        ok_t, wi_t = jnp.ones(n, bool), wi_d
 
     # --- specular: coupled Fresnel R/T ---
-    cos_o = cos_theta(wo)
-    Fr = fresnel_dielectric(cos_o, lb.eta)
-    has_sr = ~black(lb.spec_r)
-    has_st = ~black(lb.spec_t)
-    both = has_sr & has_st
-    pr = jnp.where(both, Fr, jnp.where(has_sr, 1.0, 0.0))
-    choose_r = u_re < pr
-    wi_sr = reflect_z(wo)
-    nz = vec3(jnp.zeros(n), jnp.zeros(n), jnp.where(cos_o > 0, 1.0, -1.0))
-    ok_st, wi_st = refract(wo, nz, eta_t)
-    f_cond = fresnel_conductor(cos_o, lb.eta3, lb.k3)
-    f_diel3 = Fr[..., None] * jnp.ones((1, 3))
-    Fspec = jnp.where((lb.spec_fresnel == SF_CONDUCTOR)[..., None], f_cond,
-                      jnp.where((lb.spec_fresnel == SF_NOOP)[..., None], 1.0, f_diel3))
-    wi_s = jnp.where(choose_r[..., None], wi_sr, wi_st)
-    aci_s = jnp.maximum(abs_cos_theta(wi_s), 1e-9)
-    f_sr = lb.spec_r * Fspec / aci_s[..., None]
-    # transmission: (1-F) * T / |cos|; radiance transport scales by
-    # (eta_i/eta_t)^2 — eta_t here IS the ratio eta_i/eta_t passed to refract
-    f_st = lb.spec_t * ((1.0 - Fr) * eta_t * eta_t)[..., None] / aci_s[..., None]
-    f_s = jnp.where(choose_r[..., None], f_sr, f_st)
-    pdf_s = jnp.where(both, jnp.where(choose_r, pr, 1.0 - pr), 1.0)
-    spec_valid = jnp.where(choose_r, jnp.ones_like(ok_st), ok_st)
+    if F_spec:
+        Fr = fresnel_dielectric(cos_o, lb.eta)
+        has_sr = ~black(lb.spec_r)
+        has_st = ~black(lb.spec_t)
+        both = has_sr & has_st
+        pr = jnp.where(both, Fr, jnp.where(has_sr, 1.0, 0.0))
+        choose_r = u_re < pr
+        wi_sr = reflect_z(wo)
+        nz = vec3(jnp.zeros(n), jnp.zeros(n), jnp.where(cos_o > 0, 1.0, -1.0))
+        ok_st, wi_st = refract(wo, nz, eta_t)
+        f_cond = fresnel_conductor(cos_o, lb.eta3, lb.k3)
+        f_diel3 = Fr[..., None] * jnp.ones((1, 3))
+        Fspec = jnp.where((lb.spec_fresnel == SF_CONDUCTOR)[..., None], f_cond,
+                          jnp.where((lb.spec_fresnel == SF_NOOP)[..., None], 1.0, f_diel3))
+        wi_s = jnp.where(choose_r[..., None], wi_sr, wi_st)
+        aci_s = jnp.maximum(abs_cos_theta(wi_s), 1e-9)
+        f_sr = lb.spec_r * Fspec / aci_s[..., None]
+        # transmission: (1-F) * T / |cos|; radiance transport scales by
+        # (eta_i/eta_t)^2 — eta_t here IS the ratio eta_i/eta_t passed to refract
+        f_st = lb.spec_t * ((1.0 - Fr) * eta_t * eta_t)[..., None] / aci_s[..., None]
+        f_s = jnp.where(choose_r[..., None], f_sr, f_st)
+        pdf_s = jnp.where(both, jnp.where(choose_r, pr, 1.0 - pr), 1.0)
+        spec_valid = jnp.where(choose_r, jnp.ones_like(ok_st), ok_st)
+    else:
+        choose_r = jnp.zeros(n, bool)
+        has_st = jnp.zeros(n, bool)
+        wi_s = wi_d
+        f_s = jnp.zeros(wo.shape, jnp.float32)
+        pdf_s = jnp.ones(n, jnp.float32)
+        spec_valid = jnp.ones(n, bool)
 
     # --- select by lobe ---
     is_spec = sel == 4
@@ -464,8 +503,8 @@ def bsdf_sample(lb: Lobes, wo, u_lobe, u2, ftab=None):
                    jnp.where(is_gloss[..., None], wi_g,
                              jnp.where(is_gt[..., None], wi_t, wi_d)))
     # evaluate non-specular mixture f and pdf at the sampled wi
-    f_ns = bsdf_f(lb, wo, wi, ftab)
-    pdf_ns = bsdf_pdf(lb, wo, wi, ftab)
+    f_ns = bsdf_f(lb, wo, wi, ftab, fams=fams)
+    pdf_ns = bsdf_pdf(lb, wo, wi, ftab, fams=fams)
     f = jnp.where(is_spec[..., None], f_s, f_ns)
     pdf = jnp.where(is_spec, pdf_s * w[..., 4], pdf_ns)
     valid = jnp.where(is_spec, spec_valid,

@@ -522,9 +522,11 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     if ibvh is not None:
         data = data._replace(ibvh=ibvh)
 
+    from pbrt_tpu.materials import material_families
     flags = SceneFlags(
         n_tris=n_tri_real, n_quadrics=n_quad_real, n_lights=n_lights,
         n_instances=n_instances, n_world_tris=n_world_tri,
+        bsdf_fams=tuple(material_families(desc.materials)),
         n_materials=len(desc.materials),
         has_infinite=any(k == L_INFINITE for k in l_kind[:n_lights]),
         has_area_lights=any(k == L_AREA for k in l_kind[:n_lights]),

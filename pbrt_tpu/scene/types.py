@@ -93,6 +93,9 @@ class SceneFlags:
     # shared-prototype instancing (transformed_primitive.rs analog)
     n_instances: int = 0
     n_world_tris: int = 0        # tri-table rows covered by the world BVH
+    # static lobe-family presence (dift, glossy, glossy_t, oren, spec) —
+    # materials/__init__.py material_families; bsdf code skips absent ones
+    bsdf_fams: Tuple[bool, ...] = (True, True, True, True, True)
 
 
 @dataclasses.dataclass
