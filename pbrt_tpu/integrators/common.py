@@ -151,8 +151,9 @@ def infinite_pdf_for_dir(cs, wi, prev_p=None):
     data = cs.data
     n = wi.shape[0]
     total = jnp.zeros((n,), jnp.float32)
-    for li in range(cs.flags.n_lights):
-        kind_is_inf = data.lights.kind[li] == LT.L_INFINITE
+    # the infinite subset is known at build (flags.infinite_light_ids):
+    # graph size no longer scales with the scene's total light count
+    for li in cs.flags.infinite_light_ids:
         idx = jnp.full((n,), li, jnp.int32)
         pdf = LT.pdf_li(data.lights, data, idx, wi * 0.0, wi,
                         jnp.ones((n,)), jnp.ones((n,)), data.world_radius)
@@ -160,5 +161,5 @@ def infinite_pdf_for_dir(cs, wi, prev_p=None):
             pmf = select_light_pdf(cs, prev_p, jnp.full((n,), li))
         else:
             pmf = data.light_distr.discrete_pdf(jnp.full((n,), li))
-        total = total + jnp.where(kind_is_inf, pdf * pmf, 0.0)
+        total = total + pdf * pmf
     return total

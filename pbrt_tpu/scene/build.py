@@ -529,6 +529,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         bsdf_fams=tuple(material_families(desc.materials)),
         n_materials=len(desc.materials),
         has_infinite=any(k == L_INFINITE for k in l_kind[:n_lights]),
+        infinite_light_ids=tuple(i for i, k in enumerate(l_kind[:n_lights])
+                                 if k == L_INFINITE),
         has_area_lights=any(k == L_AREA for k in l_kind[:n_lights]),
         use_bvh=use_bvh, accel=accel, has_tex_slot=has_tex_slot,
         any_normals=bool(thn.any()), any_uv=True,
