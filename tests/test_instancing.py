@@ -98,3 +98,20 @@ def test_motion_blur_streak():
     cs = load_scene_string(moving)
     assert cs.flags.n_instances == 1   # wrapped as an animated instance
     assert bool(np.asarray(cs.data.ibvh.ianim)[0])
+
+
+def test_rotated_scaled_instance_matches_baked():
+    """Rotation + non-uniform scale exercise the inverse-transpose normal
+    transform and the unnormalized-direction t metric."""
+    xform = "Translate 1 0.5 0\n  Rotate 40 0 1 0\n  Rotate 25 1 0 0\n  Scale 1.6 0.7 1.1\n"
+    inst = (HEAD + 'ObjectBegin "pyr"\n  Material "matte" "rgb Kd" [0.7 0.3 0.2]\n'
+            + PYRAMID + 'ObjectEnd\n'
+            + 'AttributeBegin\n  ' + xform + '  ObjectInstance "pyr"\nAttributeEnd\n'
+            + "WorldEnd\n")
+    baked = (HEAD + 'AttributeBegin\n  Material "matte" "rgb Kd" [0.7 0.3 0.2]\n  '
+             + xform + PYRAMID + 'AttributeEnd\nWorldEnd\n')
+    cs_i = load_scene_string(inst)
+    assert cs_i.flags.n_instances == 1
+    img_i = render(cs_i)
+    img_b = render(load_scene_string(baked))
+    np.testing.assert_allclose(img_i, img_b, rtol=5e-3, atol=5e-3)
