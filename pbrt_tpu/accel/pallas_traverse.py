@@ -573,7 +573,14 @@ def _kernel_block_all(meta_ref, anyhit_ref, nodes_ref, tris_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                       t_out, tri_out, b1_out, b2_out, it_out,
                       stack_ref, sp_ref, ts_ref, tris_scr, b1s_ref, b2s_ref,
-                      *, any_hit: bool, rows: int, pops: int, nblocks: int):
+                      vscr_ref,
+                      *, any_hit: bool, rows: int, pops: int, nblocks: int,
+                      batched_vote: bool = False):
+    # batched_vote=True replaces the 2*pops per-slot cross-lane reductions
+    # with one log-roll OR + a VMEM scalar readback — measured 17% SLOWER
+    # (6.15 -> 7.21 ms bounce traversal): per-row reduce->scalar syncs are
+    # ~20ns here while a VMEM scalar read costs ~100ns. Kept (off) as the
+    # record of a measured dead end.
     """Whole-wavefront mega-packet traversal in ONE grid step.
 
     Same per-block algorithm as _kernel_block, but the kernel itself loops
@@ -734,13 +741,34 @@ def _kernel_block_all(meta_ref, anyhit_ref, nodes_ref, tris_ref,
                     b1s_ref[:] = b1_b
                     b2s_ref[:] = b2_b
 
+            # ONE vote for all slots: per-lane bitmask (bits disjoint per
+            # slot/side, so per-lane adds don't collide), OR-reduced across
+            # lanes+sublanes with log rolls, one element staged through VMEM
+            # scratch — replaces 2*pops cross-lane reduce->scalar syncs
+            if batched_vote:
+                mask = jnp.zeros((rows, LANES), jnp.int32)
+                for p in range(pops):
+                    hit_l, hit_r = hits[p]
+                    mask = mask + jnp.where(hit_l, 1 << (2 * p), 0) \
+                        + jnp.where(hit_r, 1 << (2 * p + 1), 0)
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    mask = mask | pltpu.roll(mask, sh, 1)
+                for sh in (4, 2, 1):
+                    mask = mask | pltpu.roll(mask, sh, 0)
+                vscr_ref[0:1, :] = mask[0:1, :]
+                vote_word = vscr_ref[0, 0]
+
             sp_s = jnp.maximum(sp0 - pops, 0)
             for p in reversed(range(pops)):
                 act, left, payload, cnt, blk, ax, rec, tb = slots[p]
-                hit_l, hit_r = hits[p]
-                v = jnp.sum(jnp.where(hit_l, 1, 0) + jnp.where(hit_r, 2048, 0))
-                hl = jnp.where((v & 2047) > 0, 1, 0)
-                hr = jnp.where(v >= 2048, 1, 0)
+                if batched_vote:
+                    hl = (vote_word >> (2 * p)) & 1
+                    hr = (vote_word >> (2 * p + 1)) & 1
+                else:
+                    hit_l, hit_r = hits[p]
+                    v = jnp.sum(jnp.where(hit_l, 1, 0) + jnp.where(hit_r, 2048, 0))
+                    hl = jnp.where((v & 2047) > 0, 1, 0)
+                    hr = jnp.where(v >= 2048, 1, 0)
                 swap = jnp.where(ax == 0, swap_axis[0],
                                  jnp.where(ax == 1, swap_axis[1], swap_axis[2]))
                 near = jnp.where(swap, payload, left)
@@ -869,7 +897,8 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
                             pltpu.VMEM((rows, LANES), jnp.float32),
                             pltpu.VMEM((rows, LANES), jnp.int32),
                             pltpu.VMEM((rows, LANES), jnp.float32),
-                            pltpu.VMEM((rows, LANES), jnp.float32)],
+                            pltpu.VMEM((rows, LANES), jnp.float32),
+                            pltpu.VMEM((rows, LANES), jnp.int32)],
             interpret=interpret,
         )(pb.metas, ah_blocks, pb.nodes, pb.tris,
           comp(o_p[:, 0]), comp(o_p[:, 1]), comp(o_p[:, 2]),
