@@ -403,9 +403,12 @@ def _kernel_inst(meta_ref, imat_ref, iroot_ref,
             sp_s = spm
             # instance enter: push RESTORE then the prototype root
             root = iroot_ref[iid]
-            v = jnp.sum(jnp.where(hit_l, 1, 0) + jnp.where(hit_r, 2048, 0))
-            hl = jnp.where((v & 2047) > 0, 1, 0)
-            hr = jnp.where(v >= 2048, 1, 0)
+            # weight must exceed the max left-hit count rows*LANES (aliasing
+            # at rows>=16 otherwise)
+            W = rows * LANES + 1
+            v = jnp.sum(jnp.where(hit_l, 1, 0) + jnp.where(hit_r, W, 0))
+            hl = jnp.where((v % W) > 0, 1, 0)
+            hr = jnp.where(v >= W, 1, 0)
             # near/far by majority direction sign on the CURRENT rays
             _ix, _iy, _iz, kxx, kyy, kzz, sxx, syy, szz = state[6]
             half = rows * LANES // 2

@@ -546,9 +546,12 @@ def _kernel_block(meta_ref, nodes_ref, tris_ref,
         for p in reversed(range(pops)):
             act, left, payload, cnt, blk, ax, rec, tb = slots[p]
             hit_l, hit_r = hits[p]
-            v = jnp.sum(jnp.where(hit_l, 1, 0) + jnp.where(hit_r, 2048, 0))
-            hl = jnp.where((v & 2047) > 0, 1, 0)
-            hr = jnp.where(v >= 2048, 1, 0)
+            # vote weight must exceed the max possible left-hit count
+            # (rows*LANES), else an all-left block aliases into hr
+            W = rows * LANES + 1
+            v = jnp.sum(jnp.where(hit_l, 1, 0) + jnp.where(hit_r, W, 0))
+            hl = jnp.where((v % W) > 0, 1, 0)
+            hr = jnp.where(v >= W, 1, 0)
             swap = jnp.where(ax == 0, swap_axis[0],
                              jnp.where(ax == 1, swap_axis[1], swap_axis[2]))
             near = jnp.where(swap, payload, left)
@@ -766,9 +769,10 @@ def _kernel_block_all(meta_ref, anyhit_ref, nodes_ref, tris_ref,
                     hr = (vote_word >> (2 * p + 1)) & 1
                 else:
                     hit_l, hit_r = hits[p]
-                    v = jnp.sum(jnp.where(hit_l, 1, 0) + jnp.where(hit_r, 2048, 0))
-                    hl = jnp.where((v & 2047) > 0, 1, 0)
-                    hr = jnp.where(v >= 2048, 1, 0)
+                    W = rows * LANES + 1
+                    v = jnp.sum(jnp.where(hit_l, 1, 0) + jnp.where(hit_r, W, 0))
+                    hl = jnp.where((v % W) > 0, 1, 0)
+                    hr = jnp.where(v >= W, 1, 0)
                 swap = jnp.where(ax == 0, swap_axis[0],
                                  jnp.where(ax == 1, swap_axis[1], swap_axis[2]))
                 near = jnp.where(swap, payload, left)
@@ -841,7 +845,8 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
                        interpret=interpret, sort=False, rows=rows, pops=pops,
                        mode=mode)
         unsort = lambda v: jnp.zeros_like(v).at[perm].set(v)
-        return TriHit(unsort(th.t), unsort(th.tri), unsort(th.b1), unsort(th.b2))
+        return TriHit(unsort(th.t), unsort(th.tri), unsort(th.b1),
+                      unsort(th.b2), unsort(th.slot))
     N = o.shape[0]
     BLK = rows * LANES
     npad = (-N) % BLK
@@ -904,9 +909,11 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
           comp(o_p[:, 0]), comp(o_p[:, 1]), comp(o_p[:, 2]),
           comp(d_p[:, 0]), comp(d_p[:, 1]), comp(d_p[:, 2]), comp(tm_p))
         slot = tri.reshape(-1)[:N]
+        # NB: the order gather is dead code (DCE'd) for callers that consume
+        # attributes via the slot-keyed packed table (scene/intersect.py)
         tri_id = jnp.where(slot >= 0, pb.order[jnp.maximum(slot, 0)], -1)
         th = TriHit(t.reshape(-1)[:N], tri_id,
-                    b1.reshape(-1)[:N], b2.reshape(-1)[:N])
+                    b1.reshape(-1)[:N], b2.reshape(-1)[:N], slot)
         if with_iters:
             return th, iters
         return th
@@ -950,7 +957,7 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
     slot = tri.reshape(-1)[:N]
     tri_id = jnp.where(slot >= 0, pb.order[jnp.maximum(slot, 0)], -1)
     th = TriHit(t.reshape(-1)[:N], tri_id,
-                b1.reshape(-1)[:N], b2.reshape(-1)[:N])
+                b1.reshape(-1)[:N], b2.reshape(-1)[:N], slot)
     if with_iters:
         return th, iters
     return th

@@ -35,6 +35,10 @@ class TriHit(NamedTuple):
     tri: jnp.ndarray      # [N] original triangle id, -1 = miss
     b1: jnp.ndarray       # [N]
     b2: jnp.ndarray       # [N]
+    # leaf-slot id from the Pallas kernel (-1 = miss); indexes the packed
+    # slot_attr attribute table directly, skipping the slot->tri-id order
+    # gather on the hot path. None for CPU/bruteforce traversals.
+    slot: jnp.ndarray | None = None
 
 
 def intersect_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,

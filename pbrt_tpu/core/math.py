@@ -258,16 +258,47 @@ def offset_ray_origin(p, p_err, n, w):
     return po
 
 
-def gather_rows(tab, idx):
-    """tab[idx] for a row table of any inner rank via a 2D gather.
+# Tables at or below this row count are gathered by a one-hot MXU matmul
+# instead of an XLA gather. In a large render graph XLA's TPU gather
+# lowering degrades to ~700-950us per 64K-lane gather regardless of table
+# size (r4 profile: 46 of 57 ms of a depth-4 trace were gathers from 4-row
+# tables); the one-hot matmul is a dense [N,T]x[T,K] contraction that stays
+# on the MXU at ~30us and is exact (single nonzero term per row).
+ONEHOT_GATHER_MAX = 4096
 
-    XLA on TPU lowers gathers from >2-D tables ~10-25x slower than row
-    gathers from 2-D tables (measured 0.68 ms vs 0.03 ms for 64K rows of a
-    [T,3,3] table); flattening the inner dims first and reshaping after is
+
+def _gather_rows_onehot(flat, idx):
+    """[T,K] rows at [M] int indices via one-hot matmul. Exact for f32 and
+    for integer/bool payloads with |value| < 2^24 (single-term dot)."""
+    T = flat.shape[0]
+    idx = jnp.clip(idx, 0, T - 1)
+    oh = (idx[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]
+          ).astype(jnp.float32)
+    dt = flat.dtype
+    if dt == jnp.float32:
+        return jnp.dot(oh, flat, preferred_element_type=jnp.float32)
+    v = jnp.dot(oh, flat.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    if dt == jnp.bool_:
+        return v > 0.5
+    return v.astype(dt)
+
+
+def gather_rows(tab, idx):
+    """tab[idx] for a row table of any inner rank.
+
+    Small tables (rows <= ONEHOT_GATHER_MAX) go through the one-hot matmul
+    (see above). Larger tables use a flat 2-D row gather: XLA on TPU lowers
+    gathers from >2-D tables ~10-25x slower than row gathers from 2-D
+    tables; flattening the inner dims first and reshaping after is
     bit-identical and hits the fast path.
     """
     inner = tab.shape[1:]
-    if len(inner) <= 1:
-        return tab[idx]
-    flat = tab.reshape(tab.shape[0], -1)
-    return flat[idx].reshape(idx.shape + inner)
+    flat = tab.reshape(tab.shape[0], -1) if len(inner) != 1 else tab
+    if flat.ndim == 1:
+        flat = flat[:, None]
+    if flat.shape[0] <= ONEHOT_GATHER_MAX:
+        idx_flat = idx.reshape(-1)
+        out = _gather_rows_onehot(flat, idx_flat)
+        return out.reshape(idx.shape + inner)
+    return flat[idx.reshape(-1)].reshape(idx.shape + inner)

@@ -98,9 +98,9 @@ def sample_li(lights: LightTable, scene, light_idx, ref_p, u2,
     """
     n = ref_p.shape[0]
     li_idx = jnp.maximum(light_idx, 0)
-    kind = lights.kind[li_idx]
-    Lv = lights.L[li_idx]
-    pr = lights.params[li_idx]
+    kind = vm.gather_rows(lights.kind, li_idx)
+    Lv = vm.gather_rows(lights.L, li_idx)
+    pr = vm.gather_rows(lights.params, li_idx)
 
     # ---- point-family (point/spot/projection/gonio) ----
     pos = pr[:, 0:3]
@@ -154,7 +154,7 @@ def _sample_area(lights, scene, li_idx, ref_p, u2) -> LiSample:
     """Diffuse area light sampling (lights/src/diffuse.rs sample_li):
     mesh lights pick a triangle by area CDF then uniform-sample it."""
     n = ref_p.shape[0]
-    pr = lights.params[li_idx]
+    pr = vm.gather_rows(lights.params, li_idx)
     tri_start = pr[:, 2].astype(jnp.int32)
     tri_count = jnp.maximum(pr[:, 3].astype(jnp.int32), 1)
     cdf_off = pr[:, 6].astype(jnp.int32)
@@ -171,21 +171,21 @@ def _sample_area(lights, scene, li_idx, ref_p, u2) -> LiSample:
     steps = max(1, int(np.ceil(np.log2(max(C, 2)))) + 1)
     for _ in range(steps):
         mid = (lo + hi) // 2
-        cv = lights.tri_cdf[jnp.clip(cdf_off + mid, 0, C - 1)]
+        cv = vm.gather_rows(lights.tri_cdf, jnp.clip(cdf_off + mid, 0, C - 1))
         go_right = cv <= u0
         lo = jnp.where(go_right, jnp.minimum(mid + 1, tri_count), lo)
         hi = jnp.where(go_right, hi, mid)
     k = jnp.clip(lo, 0, tri_count - 1)
     tri = jnp.clip(tri_start + k, 0, lights.ltri_p0.shape[0] - 1)
     # remap u0 within the selected triangle's CDF span
-    c_lo = jnp.where(k > 0, lights.tri_cdf[jnp.clip(cdf_off + k - 1, 0, C - 1)], 0.0)
-    c_hi = lights.tri_cdf[jnp.clip(cdf_off + k, 0, C - 1)]
+    c_lo = jnp.where(k > 0, vm.gather_rows(lights.tri_cdf, jnp.clip(cdf_off + k - 1, 0, C - 1)), 0.0)
+    c_hi = vm.gather_rows(lights.tri_cdf, jnp.clip(cdf_off + k, 0, C - 1))
     u0r = jnp.clip((u0 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-9), 0.0, vm.ONE_MINUS_EPSILON)
     uu = jnp.stack([u0r, u2[:, 1]], -1)
     b = uniform_sample_triangle(uu)
-    p0 = lights.ltri_p0[tri]
-    p1 = lights.ltri_p1[tri]
-    p2 = lights.ltri_p2[tri]
+    p0 = vm.gather_rows(lights.ltri_p0, tri)
+    p1 = vm.gather_rows(lights.ltri_p1, tri)
+    p2 = vm.gather_rows(lights.ltri_p2, tri)
     p = b[:, 0:1] * p0 + b[:, 1:2] * p1 + (1.0 - b[:, 0:1] - b[:, 1:2]) * p2
     ng = cross(p1 - p0, p2 - p0)
     area2 = vm.length(ng)
@@ -198,7 +198,7 @@ def _sample_area(lights, scene, li_idx, ref_p, u2) -> LiSample:
     emits = jnp.where(two_sided, jnp.abs(cos_l) > 1e-7, cos_l > 1e-7)
     # area pdf -> solid angle pdf
     pdf = d2 / jnp.maximum(jnp.abs(cos_l), 1e-9) / total_area
-    Lv = lights.L[li_idx]
+    Lv = vm.gather_rows(lights.L, li_idx)
     li = jnp.where(emits[:, None], Lv, 0.0)
     pdf = jnp.where(emits, pdf, 0.0)
     return LiSample(wi, li, pdf, p, jnp.zeros((n,), bool), ng)
@@ -206,7 +206,7 @@ def _sample_area(lights, scene, li_idx, ref_p, u2) -> LiSample:
 
 def _sample_infinite(lights, li_idx, ref_p, u2, world_radius) -> LiSample:
     n = ref_p.shape[0]
-    pr = lights.params[li_idx]
+    pr = vm.gather_rows(lights.params, li_idx)
     img_id = pr[:, 8].astype(jnp.int32)
     has_map = img_id >= 0
     H, W = lights.env_image.shape[0], lights.env_image.shape[1]
@@ -225,7 +225,7 @@ def _sample_infinite(lights, li_idx, ref_p, u2, world_radius) -> LiSample:
         pdf_map = jnp.where(sin_t > 1e-7, map_pdf / (2.0 * PI * PI * jnp.maximum(sin_t, 1e-7)), 0.0)
         ix = jnp.clip((uv[:, 0] * W).astype(jnp.int32), 0, W - 1)
         iy = jnp.clip((uv[:, 1] * H).astype(jnp.int32), 0, H - 1)
-        li_map = lights.env_image.reshape(H * W, 3)[iy * W + ix] * lights.L[li_idx]
+        li_map = lights.env_image.reshape(H * W, 3)[iy * W + ix] * vm.gather_rows(lights.L, li_idx)
     else:
         wi_map = jnp.zeros((n, 3), jnp.float32)
         pdf_map = jnp.zeros((n,), jnp.float32)
@@ -233,7 +233,7 @@ def _sample_infinite(lights, li_idx, ref_p, u2, world_radius) -> LiSample:
     # constant: uniform sphere
     wi_c = uniform_sample_sphere(u2)
     pdf_c = jnp.full((n,), INV_4PI, jnp.float32)
-    li_c = lights.L[li_idx]
+    li_c = vm.gather_rows(lights.L, li_idx)
     wi = jnp.where(has_map[:, None], wi_map, wi_c)
     pdf = jnp.where(has_map, pdf_map, pdf_c)
     li = jnp.where(has_map[:, None], li_map, li_c)
@@ -247,8 +247,8 @@ def pdf_li(lights: LightTable, scene, light_idx, ref_p, wi, hit_t, hit_cos,
     per-lane light light_idx; used for BSDF-sampling MIS. For area lights the
     caller provides the actual hit (hit_t, |cos| at light) from intersection."""
     li_idx = jnp.maximum(light_idx, 0)
-    kind = lights.kind[li_idx]
-    pr = lights.params[li_idx]
+    kind = vm.gather_rows(lights.kind, li_idx)
+    pr = vm.gather_rows(lights.params, li_idx)
     total_area = jnp.maximum(pr[:, 4], 1e-12)
     d2 = hit_t * hit_t
     pdf_area = d2 / jnp.maximum(hit_cos, 1e-9) / total_area
@@ -262,7 +262,7 @@ def pdf_li(lights: LightTable, scene, light_idx, ref_p, wi, hit_t, hit_cos,
     if H > 1:
         iu = jnp.clip((phi / (2 * PI) * W).astype(jnp.int32), 0, W - 1)
         iv = jnp.clip((theta / PI * H).astype(jnp.int32), 0, H - 1)
-        f = lights.env_cond_func[iv, iu]
+        f = lights.env_cond_func.reshape(-1)[iv * W + iu]
         pdf_map = jnp.where(sin_t > 1e-7,
                             f / jnp.maximum(lights.env_marg_int, 1e-12)
                             / (2.0 * PI * PI * jnp.maximum(sin_t, 1e-7)),
@@ -305,10 +305,10 @@ def le_escaped(lights: LightTable, rd):
 def le_area(lights: LightTable, light_idx, ng, wo):
     """Emitted radiance of an intersected area light (diffuse.rs l())."""
     li_idx = jnp.maximum(light_idx, 0)
-    two_sided = lights.params[li_idx][:, 5] > 0.5
+    two_sided = vm.gather_rows(lights.params, li_idx)[:, 5] > 0.5
     front = dot(ng, wo) > 0.0
     ok = (light_idx >= 0) & (two_sided | front)
-    return jnp.where(ok[:, None], lights.L[li_idx], 0.0)
+    return jnp.where(ok[:, None], vm.gather_rows(lights.L, li_idx), 0.0)
 
 
 def light_power(kind, L_rgb, params, world_radius, env_mean=1.0):
@@ -390,9 +390,9 @@ def sample_le(lights: LightTable, scene, light_idx, u1, u2,
     """
     n = u1.shape[0]
     li_idx = jnp.maximum(light_idx, 0)
-    kind = lights.kind[li_idx]
-    Lv = lights.L[li_idx]
-    pr = lights.params[li_idx]
+    kind = vm.gather_rows(lights.kind, li_idx)
+    Lv = vm.gather_rows(lights.L, li_idx)
+    pr = vm.gather_rows(lights.params, li_idx)
 
     # point family: origin at light, uniform sphere dir (spot: cone)
     pos = pr[:, 0:3]
@@ -469,7 +469,7 @@ def _area_point(lights, scene, li_idx, u2):
     """Uniform point on an area light's emitter surface.
     Returns (p [N,3], ng [N,3], pdf_area [N])."""
     n = u2.shape[0]
-    pr = lights.params[li_idx]
+    pr = vm.gather_rows(lights.params, li_idx)
     tri_start = pr[:, 2].astype(jnp.int32)
     tri_count = jnp.maximum(pr[:, 3].astype(jnp.int32), 1)
     cdf_off = pr[:, 6].astype(jnp.int32)
@@ -481,19 +481,19 @@ def _area_point(lights, scene, li_idx, u2):
     steps = max(1, int(np.ceil(np.log2(max(C, 2)))) + 1)
     for _ in range(steps):
         mid = (lo + hi) // 2
-        cv = lights.tri_cdf[jnp.clip(cdf_off + mid, 0, C - 1)]
+        cv = vm.gather_rows(lights.tri_cdf, jnp.clip(cdf_off + mid, 0, C - 1))
         go_right = cv <= u0
         lo = jnp.where(go_right, jnp.minimum(mid + 1, tri_count), lo)
         hi = jnp.where(go_right, hi, mid)
     k = jnp.clip(lo, 0, tri_count - 1)
     tri = jnp.clip(tri_start + k, 0, lights.ltri_p0.shape[0] - 1)
-    c_lo = jnp.where(k > 0, lights.tri_cdf[jnp.clip(cdf_off + k - 1, 0, C - 1)], 0.0)
-    c_hi = lights.tri_cdf[jnp.clip(cdf_off + k, 0, C - 1)]
+    c_lo = jnp.where(k > 0, vm.gather_rows(lights.tri_cdf, jnp.clip(cdf_off + k - 1, 0, C - 1)), 0.0)
+    c_hi = vm.gather_rows(lights.tri_cdf, jnp.clip(cdf_off + k, 0, C - 1))
     u0r = jnp.clip((u0 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-9), 0.0, vm.ONE_MINUS_EPSILON)
     b = uniform_sample_triangle(jnp.stack([u0r, u2[:, 1]], -1))
-    p0 = lights.ltri_p0[tri]
-    p1 = lights.ltri_p1[tri]
-    p2 = lights.ltri_p2[tri]
+    p0 = vm.gather_rows(lights.ltri_p0, tri)
+    p1 = vm.gather_rows(lights.ltri_p1, tri)
+    p2 = vm.gather_rows(lights.ltri_p2, tri)
     p = b[:, 0:1] * p0 + b[:, 1:2] * p1 + (1.0 - b[:, 0:1] - b[:, 1:2]) * p2
     ngr = cross(p1 - p0, p2 - p0)
     ng = ngr / jnp.maximum(vm.length(ngr), 1e-12)[:, None]

@@ -196,23 +196,29 @@ def compute_lobes(mats: MaterialTable, tex: TextureTable, mat_id, uv, p,
     """Wavefront material stage: ids -> Lobes. u_mix: [N] random for the
     stochastic mix-material selection (one-sample MC estimator of the
     reference's lobe-scaled mix, materials/src/mix.rs)."""
+    from pbrt_tpu.core.math import gather_rows
     n = mat_id.shape[0]
     mat_id = jnp.maximum(mat_id, 0)
-    # resolve mix materials (2 levels)
+    # resolve mix materials (2 levels). All table rows ride one-hot matmul
+    # row-gathers (core/math.py gather_rows): per-scalar XLA gathers from
+    # these 4-to-64-row tables cost ~700us each at 64K lanes in-context.
     for _ in range(2):
-        kindv = mats.kind[mat_id]
+        kindv = gather_rows(mats.kind, mat_id)
         is_mix = kindv == M_MIX
-        amt = mats.const[mat_id, 8, 0]
+        amt = gather_rows(mats.const, mat_id)[:, 8, 0]
         pick1 = u_mix < amt
-        chosen = jnp.where(pick1, mats.child[mat_id, 0], mats.child[mat_id, 1])
+        childv = gather_rows(mats.child, mat_id)
+        chosen = jnp.where(pick1, childv[:, 0], childv[:, 1])
         mat_id = jnp.where(is_mix & (chosen >= 0), chosen, mat_id)
 
-    kindv = mats.kind[mat_id]
-    misc = mats.misc[mat_id]
+    kindv = gather_rows(mats.kind, mat_id)
+    misc = gather_rows(mats.misc, mat_id)
+    texv = gather_rows(mats.tex, mat_id)        # [N, N_SLOTS]
+    constv = gather_rows(mats.const, mat_id)    # [N, N_SLOTS+, 3]
 
     def slot(s):
-        cid = mats.tex[mat_id, s]
-        cv = mats.const[mat_id, s]
+        cid = texv[:, s]
+        cv = constv[:, s]
         if has_tex_slot is not None and not has_tex_slot[s]:
             return cv
         tv = eval_texture(tex, cid, uv, p, duv=duv)
@@ -279,7 +285,7 @@ def compute_lobes(mats: MaterialTable, tex: TextureTable, mat_id, uv, p,
     # only passthrough; keep dielectric otherwise (approximation noted)
 
     from pbrt_tpu.materials.bssrdf import burley_d
-    sssr = mats.sss[mat_id]
+    sssr = gather_rows(mats.sss, mat_id)
     sss_rho = sssr[:, 4:7]
     sss_d = burley_d(sss_rho, sssr[:, 1:4])
     return B.Lobes(
@@ -288,8 +294,8 @@ def compute_lobes(mats: MaterialTable, tex: TextureTable, mat_id, uv, p,
         glossy_kind=glossy_kind,
         dist=jnp.full((n,), B.DIST_GGX, jnp.int32),
         eta=jnp.where(eta > 0, eta, 1.5),
-        eta3=m3(is_metal, mats.const[mat_id, 0], jnp.ones((n, 3))),
-        k3=m3(is_metal, mats.const[mat_id, 1], z3),
+        eta3=m3(is_metal, constv[:, 0], jnp.ones((n, 3))),
+        k3=m3(is_metal, constv[:, 1], z3),
         rd_blend=rd_blend, kt_gloss=kt_gloss, rough_tu=au, rough_tv=av,
         spec_r=spec_r, spec_t=spec_t, spec_fresnel=spec_fresnel,
         sss_flag=sssr[:, 0] > 0.5, sss_d=sss_d, sss_rho=sss_rho,

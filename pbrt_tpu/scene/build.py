@@ -282,6 +282,38 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
             pbvh = cand
             use_pallas = True
 
+    # ---- packed per-triangle attribute table (scene/types.py AT_*) ----
+    # one f32 row per triangle with everything hit assembly needs; the
+    # slot-keyed copy lets the Pallas kernel's leaf-slot output index
+    # attributes with a single gather and no slot->tri indirection
+    from pbrt_tpu.scene.types import AT_K
+    _pm = np.asarray(prim_material, np.int32)
+    _pl = np.asarray(prim_light, np.int32)
+    _pr = np.asarray(prim_rev, bool)
+    _pa = np.asarray(prim_alpha, np.int32).reshape(-1, 2)
+    Tn = tp.shape[0]
+    attr = np.zeros((Tn, AT_K), np.float32)
+    attr[:, 0:3] = tp[:, 0]
+    attr[:, 3:6] = tp[:, 1]
+    attr[:, 6:9] = tp[:, 2]
+    attr[:, 9:18] = tn.reshape(Tn, 9)
+    attr[:, 18:24] = tuv.reshape(Tn, 6)
+    attr[:, 24] = thn.astype(np.float32)
+    attr[:, 25] = tprim.astype(np.float32)
+    attr[:, 26] = _pm[tprim].astype(np.float32)
+    attr[:, 27] = _pl[tprim].astype(np.float32)
+    attr[:, 28] = _pr[tprim].astype(np.float32)
+    attr[:, 29] = np.arange(Tn, dtype=np.float32)
+    attr[:, 30:32] = _pa[tprim].astype(np.float32)
+    slot_attr = None
+    if pbvh is not None:
+        order = np.asarray(pbvh.order)
+        slot_attr = attr[np.maximum(order, 0)].copy()
+        slot_attr[order < 0] = 0.0
+        slot_attr[order < 0, 29] = -1.0
+        slot_attr[order < 0, 27] = -1.0
+        slot_attr[order < 0, 30:32] = -1.0
+
     # ---- instance world (two-level traversal, accel/pallas_instance.py) --
     ibvh = None
     n_instances = len(desc.instances)
@@ -517,6 +549,9 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         media_tab,
         jnp.asarray(np.int32(med_ids.get(desc.camera_medium_name, -1))),
         jnp.asarray(wc.astype(np.float32)), jnp.asarray(np.float32(wr)))
+    data = data._replace(tri_attr=jnp.asarray(attr))
+    if slot_attr is not None:
+        data = data._replace(slot_attr=jnp.asarray(slot_attr))
     if pbvh is not None:
         data = data._replace(pbvh=pbvh)
     if ibvh is not None:

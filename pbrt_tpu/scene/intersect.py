@@ -20,7 +20,10 @@ from pbrt_tpu.accel.traverse import intersect_bvh, intersect_bruteforce, TriHit
 from pbrt_tpu.accel.kdtree import intersect_kdtree
 from pbrt_tpu.shapes.triangle import triangle_shading
 from pbrt_tpu.shapes import quadrics as Q
-from pbrt_tpu.scene.types import SceneData, SceneFlags
+from pbrt_tpu.scene.types import (SceneData, SceneFlags, AT_P0, AT_P1, AT_P2,
+                                  AT_N, AT_UV, AT_HASN, AT_PRIM, AT_MAT,
+                                  AT_LIGHT, AT_REV, AT_TRI, AT_ALPHA,
+                                  AT_SALPHA)
 
 
 def _quadric_pass(scene: SceneData, flags: SceneFlags, o, d, t_max):
@@ -58,8 +61,8 @@ def _quadric_eval_all(scene: SceneData, qi, o, d, t_max):
     o2w = vm.gather_rows(scene.quad_o2w, qis)
     oo = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], o) + w2o[:, :3, 3]
     od = jnp.einsum("nij,nj->ni", w2o[:, :3, :3], d)
-    qp = scene.quad_params[qis]      # [N, 8]
-    qtype = scene.quad_type[qis]
+    qp = vm.gather_rows(scene.quad_params, qis)      # [N, 8]
+    qtype = vm.gather_rows(scene.quad_type, qis)
 
     class PerLaneParams:
         def __getitem__(self, i):
@@ -113,24 +116,39 @@ def _closest_tris(scene, flags, o, d, t_best, anyhit_mask=None):
                                 o, d, t_best)
 
 
-def _alpha_of_hit(scene, tri_id, b1, b2, o, d, t, shadow=False):
+def _hit_attr(scene, th):
+    """Packed attribute rows for a TriHit: slot-keyed when the Pallas kernel
+    produced slots (skips the slot->tri order gather), tri-keyed otherwise."""
+    if th.slot is not None and scene.slot_attr is not None:
+        return vm.gather_rows(scene.slot_attr, jnp.maximum(th.slot, 0))
+    return vm.gather_rows(scene.tri_attr, jnp.maximum(th.tri, 0))
+
+
+def _hit_valid(th):
+    """[N] bool hit mask without touching th.tri (whose slot->tri gather is
+    dead code on the Pallas path)."""
+    return (th.slot >= 0) if th.slot is not None else (th.tri >= 0)
+
+
+def _alpha_of_hit(scene, th, o, d, shadow=False):
     """Evaluate a hit triangle's alpha-mask texture ([N]; 1.0 = opaque).
 
     shadow may be a python bool or a per-lane [N] bool array (merged
     next+shadow wavefronts pick the shadow_alpha_mask column per lane)."""
     from pbrt_tpu.textures import eval_texture
-    tid = jnp.maximum(tri_id, 0)
+    attr = _hit_attr(scene, th)
     if isinstance(shadow, jnp.ndarray):
-        col = jnp.where(shadow, 1, 0)
+        aid = jnp.where(shadow, attr[:, AT_SALPHA], attr[:, AT_ALPHA])
     else:
-        col = 1 if shadow else 0
-    aid = scene.prim_alpha[scene.tri_prim[tid], col]
+        aid = attr[:, AT_SALPHA] if shadow else attr[:, AT_ALPHA]
+    aid = aid.astype(jnp.int32)
+    b1, b2 = th.b1, th.b2
     b0 = 1.0 - b1 - b2
-    tuv = vm.gather_rows(scene.tri_uv, tid)
+    tuv = attr[:, AT_UV:AT_UV + 6].reshape(-1, 3, 2)
     uv = b0[:, None] * tuv[:, 0] + b1[:, None] * tuv[:, 1] + b2[:, None] * tuv[:, 2]
-    p = o + t[:, None] * d
+    p = o + th.t[:, None] * d
     a = eval_texture(scene.tex, aid, uv, p)[:, 0]
-    return jnp.where((tri_id >= 0) & (aid >= 0), a, 1.0)
+    return jnp.where(_hit_valid(th) & (aid >= 0), a, 1.0)
 
 
 def _closest_tris_alpha(scene, flags, o, d, t_best, shadow=False):
@@ -142,27 +160,35 @@ def _closest_tris_alpha(scene, flags, o, d, t_best, shadow=False):
     th = _closest_tris(scene, flags, o, d, t_best)
     if not flags.has_alpha:
         return th
+
+    def merge(masked, a, b):
+        slot = None
+        if a.slot is not None and b.slot is not None:
+            slot = jnp.where(masked, a.slot, b.slot)
+        return TriHit(jnp.where(masked, a.t, b.t),
+                      jnp.where(masked, a.tri, b.tri),
+                      jnp.where(masked, a.b1, b.b1),
+                      jnp.where(masked, a.b2, b.b2), slot)
+
     t_off = jnp.zeros_like(th.t)
     oo = o
     for _ in range(ALPHA_ROUNDS):
-        a = _alpha_of_hit(scene, th.tri, th.b1, th.b2, oo, d, th.t, shadow)
-        masked = (th.tri >= 0) & (a <= 0.0)
+        a = _alpha_of_hit(scene, th, oo, d, shadow)
+        masked = _hit_valid(th) & (a <= 0.0)
         eps = 1e-4 * (1.0 + jnp.abs(th.t))
         step = th.t + eps
         oo2 = jnp.where(masked[:, None], oo + step[:, None] * d, oo)
         t_off2 = jnp.where(masked, t_off + step, t_off)
         rem = jnp.where(masked, jnp.asarray(t_best, jnp.float32) - t_off2, 1.0)
         th2 = _closest_tris(scene, flags, oo2, d, jnp.maximum(rem, 0.0))
-        th = TriHit(jnp.where(masked, th2.t, th.t),
-                    jnp.where(masked, th2.tri, th.tri),
-                    jnp.where(masked, th2.b1, th.b1),
-                    jnp.where(masked, th2.b2, th.b2))
+        th = merge(masked, th2, th)
         oo, t_off = oo2, t_off2
     # final masked survivors count as misses; map t back to the original ray
-    a = _alpha_of_hit(scene, th.tri, th.b1, th.b2, oo, d, th.t, shadow)
-    still = (th.tri >= 0) & (a <= 0.0)
+    a = _alpha_of_hit(scene, th, oo, d, shadow)
+    still = _hit_valid(th) & (a <= 0.0)
     return TriHit(jnp.where(still, jnp.asarray(t_best, jnp.float32), th.t + t_off),
-                  jnp.where(still, -1, th.tri), th.b1, th.b2)
+                  jnp.where(still, -1, th.tri), th.b1, th.b2,
+                  None if th.slot is None else jnp.where(still, -1, th.slot))
 
 
 def _instance_pass(scene, flags, o, d, tri_t, tri_id, b1, b2, time):
@@ -191,9 +217,12 @@ def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max,
     t_best = jnp.asarray(t_max, jnp.float32)
 
     # triangles
+    slot = None
     if flags.n_tris > 0:
         th = _closest_tris_alpha(scene, flags, o, d, t_best)
         tri_t, tri_id, b1, b2 = th.t, th.tri, th.b1, th.b2
+        if flags.n_instances == 0:
+            slot = th.slot
     else:
         tri_t = t_best
         tri_id = jnp.full((N,), -1, jnp.int32)
@@ -211,7 +240,7 @@ def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max,
         q_t = tri_t
         q_id = jnp.full((N,), -1, jnp.int32)
     return _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2,
-                        q_t, q_id, inst=inst, time=time)
+                        q_t, q_id, inst=inst, time=time, slot=slot)
 
 
 def intersect_pair(scene: SceneData, flags: SceneFlags,
@@ -256,10 +285,14 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
                                    [jnp.zeros((N,), bool),
                                     jnp.ones((N,), bool)]))
         tri_t, tri_id, b1, b2 = th.t, th.tri, th.b1, th.b2
+        tri_hit = _hit_valid(th)
+        slot = th.slot if flags.n_instances == 0 else None
     else:
         tri_t = tm2
         tri_id = jnp.full((2 * N,), -1, jnp.int32)
         b1 = b2 = jnp.zeros((2 * N,), jnp.float32)
+        tri_hit = jnp.zeros((2 * N,), bool)
+        slot = None
     inst = None
     if flags.n_instances > 0:
         t2 = None if time is None else jnp.concatenate(
@@ -267,39 +300,49 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
         tri_t, tri_id, b1, b2, inst2 = _instance_pass(
             scene, flags, o2, d2, tri_t, tri_id, b1, b2, t2)
         inst = inst2[:N]
+        tri_hit = tri_id >= 0
     if flags.n_quadrics > 0:
         q_t, q_id = _quadric_pass(scene, flags, o2, d2, tri_t)
     else:
         q_t = tri_t
         q_id = jnp.full((2 * N,), -1, jnp.int32)
 
-    occluded = active_sh & ((tri_id[N:] >= 0) | (q_id[N:] >= 0))
+    occluded = active_sh & (tri_hit[N:] | (q_id[N:] >= 0))
     si = _assemble_si(scene, flags, o_nx, d_nx, tmax_nx,
                       tri_t[:N], tri_id[:N], b1[:N], b2[:N],
-                      q_t[:N], q_id[:N], inst=inst, time=time)
+                      q_t[:N], q_id[:N], inst=inst, time=time,
+                      slot=None if slot is None else slot[:N])
     return si, occluded
 
 
 def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id,
-                 inst=None, time=None):
+                 inst=None, time=None, slot=None):
     N = o.shape[0]
 
+    # ONE packed-attribute row gather per lane (scene/types.py AT_*) —
+    # slot-keyed on the Pallas path (no slot->tri order indirection)
+    if slot is not None and scene.slot_attr is not None:
+        attr = vm.gather_rows(scene.slot_attr, jnp.maximum(slot, 0))
+        tri_valid = slot >= 0
+    else:
+        attr = vm.gather_rows(scene.tri_attr, jnp.maximum(tri_id, 0))
+        tri_valid = tri_id >= 0
+
     use_quad = q_id >= 0   # quadric pass already bounded by tri_t
-    any_hit = (tri_id >= 0) | use_quad
+    any_hit = tri_valid | use_quad
     t = jnp.where(use_quad, q_t, tri_t)
 
     # --- assemble SurfaceInteraction ---
-    tid = jnp.maximum(tri_id, 0)
     b0 = 1.0 - b1 - b2
-    tp0 = scene.tri_p0[tid]
-    tp1 = scene.tri_p1[tid]
-    tp2 = scene.tri_p2[tid]
-    tn = jnp.where(scene.tri_has_n[tid][:, None, None],
-                   vm.gather_rows(scene.tri_n, tid), 0.0)
-    has_n = scene.tri_has_n[tid]
-    tuv = vm.gather_rows(scene.tri_uv, tid)
+    tp0 = attr[:, AT_P0:AT_P0 + 3]
+    tp1 = attr[:, AT_P1:AT_P1 + 3]
+    tp2 = attr[:, AT_P2:AT_P2 + 3]
+    has_n = attr[:, AT_HASN] > 0.5
+    tn = jnp.where(has_n[:, None, None],
+                   attr[:, AT_N:AT_N + 9].reshape(N, 3, 3), 0.0)
+    tuv = attr[:, AT_UV:AT_UV + 6].reshape(N, 3, 2)
     p_t, ng_t, ns_raw, uv_t, dpdu_t, dpdv_t, perr_t = triangle_shading(
-        tid, b0, b1, b2, tp0, tp1, tp2, None, None, tuv, -d)
+        None, b0, b1, b2, tp0, tp1, tp2, None, None, tuv, -d)
     # interpolated shading normals where present
     ns_int = normalize(b0[:, None] * tn[:, 0] + b1[:, None] * tn[:, 1]
                        + b2[:, None] * tn[:, 2])
@@ -307,6 +350,7 @@ def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id,
     ns_t = jnp.where((has_n & ~ns_bad)[:, None], ns_int, ns_raw)
     ng_t = vm.face_forward(ng_t, ns_t)
 
+    tri_prim = attr[:, AT_PRIM].astype(jnp.int32)
     if flags.n_quadrics > 0:
         qh, q_t2, p_q, ng_q, uv_q, dpdu_q, dpdv_q, perr_q = _quadric_eval_all(
             scene, q_id, o, d, t_max)
@@ -317,11 +361,12 @@ def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id,
         dpdu = jnp.where(use_quad[:, None], dpdu_q, dpdu_t)
         dpdv = jnp.where(use_quad[:, None], dpdv_q, dpdv_t)
         perr = jnp.where(use_quad[:, None], perr_q, perr_t)
-        prim = jnp.where(use_quad, scene.quad_prim[jnp.maximum(q_id, 0)],
-                         scene.tri_prim[tid])
+        prim = jnp.where(use_quad,
+                         vm.gather_rows(scene.quad_prim, jnp.maximum(q_id, 0)),
+                         tri_prim)
     else:
         p, ng, ns, uv, dpdu, dpdv, perr = p_t, ng_t, ns_t, uv_t, dpdu_t, dpdv_t, perr_t
-        prim = scene.tri_prim[tid]
+        prim = tri_prim
 
     # instanced hits: geometry came out in PROTOTYPE space — move the frame
     # to world with the lane's instance transform at its ray time
@@ -353,8 +398,18 @@ def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id,
         ng = jnp.where(has_i[:, None], vm.face_forward(ng_i, ns_i), ng)
         perr = jnp.where(has_i[:, None], perr_i, perr)
 
-    # reverse orientation flips normals (GeometricPrimitive)
-    rev = scene.prim_rev[jnp.maximum(prim, 0)]
+    # reverse orientation flips normals (GeometricPrimitive); tri lanes read
+    # the packed column, quadric lanes the (small, one-hot) prim table
+    rev = attr[:, AT_REV] > 0.5
+    mat_row = attr[:, AT_MAT].astype(jnp.int32)
+    light_row = attr[:, AT_LIGHT].astype(jnp.int32)
+    if flags.n_quadrics > 0:
+        qprim = jnp.maximum(prim, 0)
+        rev = jnp.where(use_quad, vm.gather_rows(scene.prim_rev, qprim), rev)
+        mat_row = jnp.where(use_quad,
+                            vm.gather_rows(scene.prim_material, qprim), mat_row)
+        light_row = jnp.where(use_quad,
+                              vm.gather_rows(scene.prim_light, qprim), light_row)
     ng = jnp.where(rev[:, None], -ng, ng)
     ns = jnp.where(rev[:, None], -ns, ns)
 
@@ -373,8 +428,8 @@ def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id,
     t = jnp.where(any_hit, t, 1e20)
 
     ss, ts = make_frame(ns, dpdu)
-    material = jnp.where(any_hit, scene.prim_material[jnp.maximum(prim, 0)], -1)
-    area_light = jnp.where(any_hit, scene.prim_light[jnp.maximum(prim, 0)], -1)
+    material = jnp.where(any_hit, mat_row, -1)
+    area_light = jnp.where(any_hit, light_row, -1)
     z = jnp.zeros((N,), jnp.float32)
     return SurfaceInteraction(
         valid=any_hit, t=t, p=p, p_err=perr, wo=normalize(-d), ng=ng, ns=ns,
@@ -410,7 +465,7 @@ def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max):
         else:
             th = intersect_bruteforce(scene.tri_p0, scene.tri_p1, scene.tri_p2,
                                       o, d, t_max)
-        occluded = occluded | (th.tri >= 0)
+        occluded = occluded | _hit_valid(th)
     if flags.n_instances > 0:
         from pbrt_tpu.accel.pallas_instance import intersect_instances
         thi, _ = intersect_instances(scene.ibvh, o, d,

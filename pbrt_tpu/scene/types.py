@@ -65,6 +65,32 @@ class SceneData(NamedTuple):
     # two-level instance world (accel/pallas_instance.py InstanceBVH);
     # None when the scene has no shared-prototype instances
     ibvh: object = None
+    # packed per-triangle attribute table [T, AT_K] f32 (columns below):
+    # ONE row gather per hit assembly instead of ~8 separate table gathers
+    # (XLA's TPU gather lowering costs ~0.6 ms per 64K-lane gather in a
+    # large graph regardless of table size — r4 profile)
+    tri_attr: jnp.ndarray = None
+    # the same rows re-ordered by Pallas leaf slot (pbvh.order), so the
+    # kernel's slot output indexes attributes directly with no slot->tri
+    # indirection; None when the Pallas kernel is off
+    slot_attr: jnp.ndarray = None
+
+
+# tri_attr / slot_attr column layout
+AT_P0 = 0          # 0:3   vertex 0
+AT_P1 = 3          # 3:6   vertex 1
+AT_P2 = 6          # 6:9   vertex 2
+AT_N = 9           # 9:18  per-vertex shading normals (3x3, zeros if none)
+AT_UV = 18         # 18:24 per-vertex uv (3x2)
+AT_HASN = 24       # has shading normals (0/1)
+AT_PRIM = 25       # primitive record id
+AT_MAT = 26        # material id (prim_material[prim])
+AT_LIGHT = 27      # area light id or -1
+AT_REV = 28        # reverse-orientation flag (0/1)
+AT_TRI = 29        # original triangle id (-1 on padded slot rows)
+AT_ALPHA = 30      # alpha-mask float-texture id or -1
+AT_SALPHA = 31     # shadow-alpha-mask float-texture id or -1
+AT_K = 32
 
 
 @dataclasses.dataclass(frozen=True)
