@@ -81,19 +81,49 @@ def _morton3(x):
 SPLIT_IDS = {"sah": 0, "hlbvh": 1, "middle": 2, "equal": 3, "equalcounts": 3}
 
 
+class HostBVH(NamedTuple):
+    """Numpy mirror of BVH (same field names). Consumers that re-pack the
+    tree on the host (pack_pallas_bvh, slot-attribute tables) read THIS
+    instead of the device BVH: a device->host transfer permanently degrades
+    the axon tunnel's per-call dispatch latency ~50x (measured r4), so the
+    build path must never read device arrays back."""
+    bounds_lo: np.ndarray
+    bounds_hi: np.ndarray
+    right_child: np.ndarray
+    prim_offset: np.ndarray
+    prim_count: np.ndarray
+    axis: np.ndarray
+    prim_order: np.ndarray
+    packed: np.ndarray
+
+
+def _to_device(h: HostBVH) -> BVH:
+    return BVH(*(jnp.asarray(v) for v in h))
+
+
 def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
               leaf_size: int = MAX_LEAF_PRIMS,
-              split_method: str = "sah") -> BVH:
+              split_method: str = "sah", with_host: bool = False):
     """Build from per-primitive world bounds ([T,3] lo/hi) on the host.
 
     Prefers the native C++ builder (pbrt_tpu/native/bvh_builder.cpp) which
     implements all 4 reference split modes (binned SAH / HLBVH / middle /
     equal-counts, accelerators/src/bvh/common.rs:27-37); falls back to the
     numpy Morton builder below when no compiler is available.
+
+    with_host=True additionally returns the HostBVH numpy mirror (see
+    above) as (BVH, HostBVH).
     """
-    native = _build_bvh_native(prim_lo, prim_hi, leaf_size, split_method)
-    if native is not None:
-        return native
+    host = _build_bvh_native(prim_lo, prim_hi, leaf_size, split_method)
+    if host is None:
+        host = _build_bvh_numpy(prim_lo, prim_hi, leaf_size)
+    dev = _to_device(host)
+    if with_host:
+        return dev, host
+    return dev
+
+
+def _build_bvh_numpy(prim_lo, prim_hi, leaf_size) -> HostBVH:
     T = prim_lo.shape[0]
     assert T > 0
     cent = 0.5 * (prim_lo + prim_hi)
@@ -159,10 +189,8 @@ def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
     M = next_node[0]
     rec = _pack_nodes(b_lo[:M], b_hi[:M], right[:M], offs[:M], cnts[:M],
                       axis_arr[:M])
-    return BVH(jnp.asarray(b_lo[:M]), jnp.asarray(b_hi[:M]),
-               jnp.asarray(right[:M]), jnp.asarray(offs[:M]),
-               jnp.asarray(cnts[:M]), jnp.asarray(axis_arr[:M]),
-               jnp.asarray(order), jnp.asarray(rec))
+    return HostBVH(b_lo[:M], b_hi[:M], right[:M], offs[:M], cnts[:M],
+                   axis_arr[:M], order, rec)
 
 
 def _build_bvh_native(prim_lo, prim_hi, leaf_size, split_method):
@@ -193,10 +221,9 @@ def _build_bvh_native(prim_lo, prim_hi, leaf_size, split_method):
     if m <= 0:
         return None
     rec = _pack_nodes(b_lo[:m], b_hi[:m], right[:m], offs[:m], cnts[:m], ax[:m])
-    return BVH(jnp.asarray(b_lo[:m]), jnp.asarray(b_hi[:m]),
-               jnp.asarray(right[:m]), jnp.asarray(offs[:m]),
-               jnp.asarray(cnts[:m]), jnp.asarray(ax[:m]),
-               jnp.asarray(order), jnp.asarray(rec))
+    return HostBVH(b_lo[:m].copy(), b_hi[:m].copy(), right[:m].copy(),
+                   offs[:m].copy(), cnts[:m].copy(), ax[:m].copy(),
+                   order, rec)
 
 
 def world_bounds(bvh: BVH):

@@ -78,7 +78,7 @@ def _aabb_transform(lo, hi, m):
 
 
 def pack_instance_world(proto_tri_bounds, proto_tri_global,
-                        instances) -> InstanceBVH:
+                        instances):
     """Build + pack the two-level structure.
 
     proto_tri_bounds: list over prototypes of ([T,3] lo, [T,3] hi) triangle
@@ -95,7 +95,8 @@ def pack_instance_world(proto_tri_bounds, proto_tri_global,
     proto_bounds = []
     for (lo, hi, p0, p1, p2), gids in zip(proto_tri_bounds, proto_tri_global):
         eps = 1e-5 * np.maximum(np.abs(lo) + np.abs(hi), 1.0)
-        bvh = build_bvh(lo - eps, hi + eps)
+        # host mirror avoids device readback (accel/bvh.py HostBVH note)
+        _, bvh = build_bvh(lo - eps, hi + eps, with_host=True)
         proto_pack.append((bvh, p0, p1, p2, gids))
         root = np.asarray(bvh.packed)[0]
         blo = np.minimum(root[0:3], root[6:9])
@@ -113,7 +114,7 @@ def pack_instance_world(proto_tri_bounds, proto_tri_global,
         l1, h1 = _aabb_transform(blo, bhi, inst["m_p2w1"])
         ilo[i] = np.minimum(l0, l1)
         ihi[i] = np.maximum(h0, h1)
-    top = build_bvh(ilo, ihi, leaf_size=1)
+    _, top = build_bvh(ilo, ihi, leaf_size=1, with_host=True)
 
     # ---- merge node/meta/tris tables ----
     all_bounds = []   # [M,12] child-bounds rows
@@ -201,7 +202,8 @@ def pack_instance_world(proto_tri_bounds, proto_tri_global,
         jnp.asarray(tris), jnp.asarray(np.asarray(order, np.int32)),
         jnp.asarray(imat), jnp.asarray(iroot), jnp.asarray(ianim),
         jnp.asarray(i2w), jnp.asarray(w2p),
-        jnp.asarray(ilo.min(0)), jnp.asarray(ihi.max(0)))
+        jnp.asarray(ilo.min(0)), jnp.asarray(ihi.max(0))), \
+        ilo.min(0), ihi.max(0)
 
 
 def _pick(ax_, ay_, az_, k):

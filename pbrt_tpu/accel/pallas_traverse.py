@@ -74,8 +74,14 @@ class PallasBVH(NamedTuple):
 SMEM_META_MAX = 1 << 15
 
 
-def pack_pallas_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2) -> PallasBVH:
-    """Host-side re-pack of a built BVH + original-order triangles."""
+def pack_pallas_bvh(bvh, tri_p0, tri_p1, tri_p2):
+    """Host-side re-pack of a built BVH + original-order triangles.
+
+    Returns (PallasBVH, leaf_order) where leaf_order is the HOST numpy
+    slot->tri map (also stored device-side as PallasBVH.order). Pass the
+    HostBVH numpy mirror, not the device BVH: reading device arrays back
+    here would poison the axon tunnel's dispatch latency (accel/bvh.py).
+    """
     packed = np.asarray(bvh.packed)
     cnts = np.asarray(bvh.prim_count)
     offs = np.asarray(bvh.prim_offset)
@@ -123,7 +129,8 @@ def pack_pallas_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2) -> PallasBVH:
     metas = (meta[:M, 3] | (meta[:M, 1] << 2) | (payload << 6)).astype(np.int32)
     return PallasBVH(jnp.asarray(nodes), jnp.asarray(meta.reshape(mrows, 128)),
                      jnp.asarray(tris), jnp.asarray(new_order),
-                     jnp.asarray(wlo), jnp.asarray(whi), jnp.asarray(metas))
+                     jnp.asarray(wlo), jnp.asarray(whi),
+                     jnp.asarray(metas)), new_order
 
 
 def _pick(ax_, ay_, az_, k):
@@ -578,7 +585,7 @@ def _kernel_block_all(meta_ref, anyhit_ref, nodes_ref, tris_ref,
                       stack_ref, sp_ref, ts_ref, tris_scr, b1s_ref, b2s_ref,
                       vscr_ref,
                       *, any_hit: bool, rows: int, pops: int, nblocks: int,
-                      batched_vote: bool = False):
+                      batched_vote: bool = False, dbg_skip_leaf: bool = False):
     # batched_vote=True replaces the 2*pops per-slot cross-lane reductions
     # with one log-roll OR + a VMEM scalar readback — measured 17% SLOWER
     # (6.15 -> 7.21 ms bounce traversal): per-row reduce->scalar syncs are
@@ -718,7 +725,7 @@ def _kernel_block_all(meta_ref, anyhit_ref, nodes_ref, tris_ref,
                 hits.append((hit_l, hit_r))
 
             z16 = jnp.zeros((rows, 16), f32)
-            for p in range(pops):
+            for p in range(pops if not dbg_skip_leaf else 0):
                 act, left, payload, cnt, blk, ax, rec, tb = slots[p]
 
                 @pl.when(cnt > 0)
@@ -818,16 +825,111 @@ def _ray_sort_key(pb, o, d):
     is proportional to the per-128-lane-packet union of visited nodes, so
     grouping rays by spatial cell + direction octant cuts it ~2x
     (tools/bench_order.py)."""
+    return _ray_sort_key_cols(pb, o[:, 0], o[:, 1], o[:, 2],
+                              d[:, 0], d[:, 1], d[:, 2])
+
+
+def _ray_sort_key_cols(pb, ox, oy, oz, dx, dy, dz):
+    """Column-SoA form of _ray_sort_key (15-bit key)."""
     ext = jnp.maximum(pb.whi - pb.wlo, 1e-6)
-    q = jnp.clip(((o - pb.wlo) / ext) * 16.0, 0.0, 15.0).astype(jnp.int32)
-    mxy = _morton16(q[:, 0:3:2])            # x,z (4 bits each -> 8)
-    oct_ = ((d[:, 0] < 0).astype(jnp.int32)
-            + 2 * (d[:, 1] < 0).astype(jnp.int32)
-            + 4 * (d[:, 2] < 0).astype(jnp.int32))
-    return (mxy << 7) | (q[:, 1] << 3) | oct_
+    qx = jnp.clip((ox - pb.wlo[0]) / ext[0] * 16.0, 0.0, 15.0).astype(jnp.int32)
+    qy = jnp.clip((oy - pb.wlo[1]) / ext[1] * 16.0, 0.0, 15.0).astype(jnp.int32)
+    qz = jnp.clip((oz - pb.wlo[2]) / ext[2] * 16.0, 0.0, 15.0).astype(jnp.int32)
+    def expand(v):
+        v = v & 0xFF
+        v = (v | (v << 4)) & 0x0F0F
+        v = (v | (v << 2)) & 0x3333
+        v = (v | (v << 1)) & 0x5555
+        return v
+    mxy = expand(qx) | (expand(qz) << 1)
+    oct_ = ((dx < 0).astype(jnp.int32)
+            + 2 * (dy < 0).astype(jnp.int32)
+            + 4 * (dz < 0).astype(jnp.int32))
+    return (mxy << 7) | (qy << 3) | oct_
 
 
 POPS = 8
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
+                                             "with_iters", "rows", "pops",
+                                             "dbg_skip_leaf"))
+def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
+                   any_hit=False, interpret=False, with_iters=False,
+                   rows=ROWS, pops=POPS, anyhit_mask=None,
+                   dbg_skip_leaf=False):
+    """Column-SoA mega-packet traversal (block1 mode only).
+
+    Takes per-component [N] ray columns — [N,3] column slices and
+    concatenates cost ~1-2 ms EACH inside a large XLA module (layout
+    conversions), so callers on the hot path keep rays as columns across
+    the traversal boundary.
+    """
+    N = ox.shape[0]
+    BLK = rows * LANES
+    npad = (-N) % BLK
+    Np = N + npad
+    R = Np // LANES
+    far = pb.whi + (pb.whi - pb.wlo) + 1.0
+
+    # pad rays start beyond the world's max corner pointing away: the root
+    # slab test fails immediately, so padding adds no node visits (with
+    # tmax=0 alone, origins inside the world still walk their whole subtree)
+    def padc(v, c):
+        return jnp.concatenate([v, jnp.full((npad,), c, jnp.float32)], 0)
+
+    tm = jnp.broadcast_to(jnp.asarray(tm, jnp.float32), (N,))
+    cols = [padc(ox, far[0]), padc(oy, far[1]), padc(oz, far[2]),
+            padc(dx, 0.0), padc(dy, 0.0), padc(dz, 1.0), padc(tm, 0.0)]
+
+    def comp(v):
+        return v.reshape(R, LANES)
+
+    nblocks = Np // BLK
+    assert pb.metas.shape[0] <= SMEM_META_MAX, "node table exceeds SMEM"
+    if anyhit_mask is None:
+        ah_blocks = jnp.full((nblocks,), 1 if any_hit else 0, jnp.int32)
+    else:
+        # per-block flag: 1 only when every ray of the block is
+        # occlusion-only (straddling blocks stay closest-hit, which is
+        # still a correct occlusion answer)
+        m = jnp.concatenate([anyhit_mask.astype(jnp.int32),
+                             jnp.zeros((npad,), jnp.int32)])
+        ah_blocks = (jnp.sum(m.reshape(nblocks, BLK), axis=1) == BLK
+                     ).astype(jnp.int32)
+    kern = functools.partial(_kernel_block_all, any_hit=any_hit, rows=rows,
+                             pops=pops, nblocks=nblocks,
+                             dbg_skip_leaf=dbg_skip_leaf)
+    out_shapes = [jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+                  jax.ShapeDtypeStruct((R, LANES), jnp.int32),
+                  jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+                  jax.ShapeDtypeStruct((R, LANES), jnp.float32),
+                  jax.ShapeDtypeStruct((nblocks,), jnp.int32)]
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    t, tri, b1, b2, iters = pl.pallas_call(
+        kern,
+        out_shape=out_shapes,
+        in_specs=[sm, sm, vm, vm] + [vm] * 7,
+        out_specs=[vm] * 4 + [sm],
+        scratch_shapes=[pltpu.SMEM((STACKB,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.VMEM((rows, LANES), jnp.float32),
+                        pltpu.VMEM((rows, LANES), jnp.int32),
+                        pltpu.VMEM((rows, LANES), jnp.float32),
+                        pltpu.VMEM((rows, LANES), jnp.float32),
+                        pltpu.VMEM((rows, LANES), jnp.int32)],
+        interpret=interpret,
+    )(pb.metas, ah_blocks, pb.nodes, pb.tris, *[comp(c) for c in cols])
+    slot = tri.reshape(-1)[:N]
+    # NB: the order gather is dead code (DCE'd) for callers that consume
+    # attributes via the slot-keyed packed table (scene/intersect.py)
+    tri_id = jnp.where(slot >= 0, pb.order[jnp.maximum(slot, 0)], -1)
+    th = TriHit(t.reshape(-1)[:N], tri_id,
+                b1.reshape(-1)[:N], b2.reshape(-1)[:N], slot)
+    if with_iters:
+        return th, iters
+    return th
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret", "sort",
@@ -847,6 +949,15 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
         unsort = lambda v: jnp.zeros_like(v).at[perm].set(v)
         return TriHit(unsort(th.t), unsort(th.tri), unsort(th.b1),
                       unsort(th.b2), unsort(th.slot))
+    smem_meta = pb.metas.shape[0] <= SMEM_META_MAX
+    if mode == "block1" and smem_meta:
+        ot = o.T
+        dt_ = d.T
+        return _traverse_cols(pb, ot[0], ot[1], ot[2], dt_[0], dt_[1], dt_[2],
+                              t_max, any_hit=any_hit, interpret=interpret,
+                              with_iters=with_iters, rows=rows, pops=pops,
+                              anyhit_mask=anyhit_mask,
+                              dbg_skip_leaf=dbg_skip_leaf)
     N = o.shape[0]
     BLK = rows * LANES
     npad = (-N) % BLK
@@ -867,56 +978,6 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
 
     grid = Np // BLK
     blk = pl.BlockSpec((rows, LANES), lambda i: (i, 0))
-    smem_meta = pb.metas.shape[0] <= SMEM_META_MAX
-    if mode == "block1" and smem_meta:
-        # single grid step; kernel loops over blocks internally (avoids the
-        # ~45us/step pipeline overhead of a blocked grid)
-        nblocks = grid
-        if anyhit_mask is None:
-            ah_blocks = jnp.full((nblocks,), 1 if any_hit else 0, jnp.int32)
-        else:
-            # per-block flag: 1 only when every ray of the block is
-            # occlusion-only (straddling blocks stay closest-hit, which is
-            # still a correct occlusion answer)
-            m = jnp.concatenate([anyhit_mask.astype(jnp.int32),
-                                 jnp.zeros((npad,), jnp.int32)])
-            ah_blocks = (jnp.sum(m.reshape(nblocks, BLK), axis=1) == BLK
-                         ).astype(jnp.int32)
-        kern = functools.partial(_kernel_block_all, any_hit=any_hit, rows=rows,
-                                 pops=pops, nblocks=nblocks)
-        out_shapes = [jax.ShapeDtypeStruct((R, LANES), jnp.float32),
-                      jax.ShapeDtypeStruct((R, LANES), jnp.int32),
-                      jax.ShapeDtypeStruct((R, LANES), jnp.float32),
-                      jax.ShapeDtypeStruct((R, LANES), jnp.float32),
-                      jax.ShapeDtypeStruct((nblocks,), jnp.int32)]
-        vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-        sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-        t, tri, b1, b2, iters = pl.pallas_call(
-            kern,
-            out_shape=out_shapes,
-            in_specs=[sm, sm, vm, vm]
-            + [vm] * 7,
-            out_specs=[vm] * 4 + [sm],
-            scratch_shapes=[pltpu.SMEM((STACKB,), jnp.int32),
-                            pltpu.SMEM((1,), jnp.int32),
-                            pltpu.VMEM((rows, LANES), jnp.float32),
-                            pltpu.VMEM((rows, LANES), jnp.int32),
-                            pltpu.VMEM((rows, LANES), jnp.float32),
-                            pltpu.VMEM((rows, LANES), jnp.float32),
-                            pltpu.VMEM((rows, LANES), jnp.int32)],
-            interpret=interpret,
-        )(pb.metas, ah_blocks, pb.nodes, pb.tris,
-          comp(o_p[:, 0]), comp(o_p[:, 1]), comp(o_p[:, 2]),
-          comp(d_p[:, 0]), comp(d_p[:, 1]), comp(d_p[:, 2]), comp(tm_p))
-        slot = tri.reshape(-1)[:N]
-        # NB: the order gather is dead code (DCE'd) for callers that consume
-        # attributes via the slot-keyed packed table (scene/intersect.py)
-        tri_id = jnp.where(slot >= 0, pb.order[jnp.maximum(slot, 0)], -1)
-        th = TriHit(t.reshape(-1)[:N], tri_id,
-                    b1.reshape(-1)[:N], b2.reshape(-1)[:N], slot)
-        if with_iters:
-            return th, iters
-        return th
     if mode == "block" and smem_meta:
         kern = functools.partial(_kernel_block, any_hit=any_hit, rows=rows,
                                  pops=pops)

@@ -260,28 +260,36 @@ def offset_ray_origin(p, p_err, n, w):
 
 # Tables at or below this row count are gathered by a one-hot MXU matmul
 # instead of an XLA gather. In a large render graph XLA's TPU gather
-# lowering degrades to ~700-950us per 64K-lane gather regardless of table
-# size (r4 profile: 46 of 57 ms of a depth-4 trace were gathers from 4-row
-# tables); the one-hot matmul is a dense [N,T]x[T,K] contraction that stays
-# on the MXU at ~30us and is exact (single nonzero term per row).
-ONEHOT_GATHER_MAX = 4096
+# lowering degrades to ~700-950us per 64K-lane gather from even a 4-row
+# table (r4 profile: 46 of 57 ms of a depth-4 trace were such gathers);
+# the one-hot matmul is a dense [N,T]x[T,K] contraction on the MXU.
+# Cost scales with N*T*K, so only small tables qualify; wide row gathers
+# from big tables (packed attribute rows) take XLA's fast ~125us path.
+ONEHOT_GATHER_MAX = 1024
 
 
 def _gather_rows_onehot(flat, idx):
-    """[T,K] rows at [M] int indices via one-hot matmul. Exact for f32 and
-    for integer/bool payloads with |value| < 2^24 (single-term dot)."""
+    """[T,K] rows at [M] int indices via one-hot matmul.
+
+    precision=HIGHEST makes the f32 MXU path exact (bf16x6 recovers the
+    full f32 product; the one-hot side is exactly representable and each
+    output row has a single nonzero term) — measured max|err| = 0 vs a
+    real gather. DEFAULT would truncate table values to bf16."""
     T = flat.shape[0]
     idx = jnp.clip(idx, 0, T - 1)
     oh = (idx[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :]
           ).astype(jnp.float32)
     dt = flat.dtype
     if dt == jnp.float32:
-        return jnp.dot(oh, flat, preferred_element_type=jnp.float32)
+        return jnp.dot(oh, flat, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
     v = jnp.dot(oh, flat.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
     if dt == jnp.bool_:
         return v > 0.5
-    return v.astype(dt)
+    # round, don't truncate: an epsilon-low product must not off-by-one an id
+    return jnp.round(v).astype(dt)
 
 
 def gather_rows(tab, idx):

@@ -179,11 +179,14 @@ def compile_materials(decls, tex_name_to_id=None, cwd="."):
             sss_rhoeff[i] = reff
 
     has_tex_slot = tuple(bool((tex[:, s] >= 0).any()) for s in range(N_SLOTS))
+    # host-side flag: device readback would poison dispatch latency
+    has_subsurface = bool((sss[:, 0] > 0).any())
     return MaterialTable(jnp.asarray(kind), jnp.asarray(tex), jnp.asarray(const),
                          jnp.asarray(misc), jnp.asarray(child),
                          jnp.asarray(sss), jnp.asarray(sss_prof),
                          jnp.asarray(sss_cdf),
-                         jnp.asarray(sss_rhoeff)), has_tex_slot, fourier_tables
+                         jnp.asarray(sss_rhoeff)), has_tex_slot, fourier_tables, \
+        has_subsurface
 
 
 def _remap(rough, do_remap):

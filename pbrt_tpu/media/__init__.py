@@ -84,9 +84,12 @@ def compile_media(media_decls: dict):
         else:
             kind[i] = M_HOMOGENEOUS
     density = np.concatenate(density_parts) if density_parts else np.zeros(1, np.float32)
+    # any_grid computed host-side: reading it back off the device would
+    # poison the axon tunnel's dispatch latency (accel/bvh.py HostBVH note)
+    any_grid = bool((kind == 1).any())
     return MediumTable(jnp.asarray(kind), jnp.asarray(sigma_a), jnp.asarray(sigma_s),
                        jnp.asarray(params), jnp.asarray(w2m),
-                       jnp.asarray(density)), name_to_id
+                       jnp.asarray(density)), name_to_id, any_grid
 
 
 # ---------------------------------------------------------------------------

@@ -123,7 +123,7 @@ def compile_textures(decls, cwd="."):
 def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> CompiledScene:
     # ---- geometry: concat meshes, collect quadrics ----
     from pbrt_tpu.media import compile_media
-    media_tab, med_ids = compile_media(desc.media)
+    media_tab, med_ids, any_grid_media = compile_media(desc.media)
     tri_p, tri_n, tri_uv, tri_prim, tri_has_n = [], [], [], [], []
     quads = []
     prim_material, prim_light, prim_rev = [], [], []
@@ -264,7 +264,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     hi = wtp.max(axis=1)
     eps = 1e-5 * np.maximum(np.abs(lo) + np.abs(hi), 1.0)
     split_method = desc.accelerator_params.find_one_string("splitmethod", "sah")
-    bvh = build_bvh(lo - eps, hi + eps, split_method=split_method)
+    bvh, bvh_host = build_bvh(lo - eps, hi + eps, split_method=split_method,
+                              with_host=True)
     use_bvh = n_tri_real >= MIN_BVH_TRIS
     accel = "bvh"
     kd = None
@@ -277,7 +278,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     if (use_bvh and desc.accelerator_kind != "kdtree" and _pal_env != "0"
             and (jax.default_backend() == "tpu" or _pal_env == "1")):
         from pbrt_tpu.accel.pallas_traverse import pack_pallas_bvh
-        cand = pack_pallas_bvh(bvh, wtp[:, 0], wtp[:, 1], wtp[:, 2])
+        cand, leaf_order = pack_pallas_bvh(bvh_host, wtp[:, 0], wtp[:, 1],
+                                           wtp[:, 2])
         if cand.vmem_bytes <= 12 * 1024 * 1024:
             pbvh = cand
             use_pallas = True
@@ -307,7 +309,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     attr[:, 30:32] = _pa[tprim].astype(np.float32)
     slot_attr = None
     if pbvh is not None:
-        order = np.asarray(pbvh.order)
+        order = leaf_order
         slot_attr = attr[np.maximum(order, 0)].copy()
         slot_attr[order < 0] = 0.0
         slot_attr[order < 0, 29] = -1.0
@@ -319,7 +321,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     n_instances = len(desc.instances)
     if n_instances:
         from pbrt_tpu.accel.pallas_instance import pack_instance_world
-        ibvh = pack_instance_world(proto_info, proto_gids, desc.instances)
+        ibvh, iwlo, iwhi = pack_instance_world(proto_info, proto_gids, desc.instances)
     if desc.accelerator_kind == "kdtree" and use_bvh:
         kd = build_kdtree(lo - eps, hi + eps)
         if kd is not None:
@@ -334,7 +336,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     # ---- world bounds ----
     pts = [lo, hi]
     if ibvh is not None:
-        pts.extend([np.asarray(ibvh.wlo)[None], np.asarray(ibvh.whi)[None]])
+        pts.extend([iwlo[None], iwhi[None]])
     for i in range(len(quads)):
         if n_quad_real == 0:
             break
@@ -355,7 +357,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
 
     # ---- textures & materials ----
     tex = compile_textures(desc.textures, cwd)
-    mats, has_tex_slot, fourier_tables = compile_materials(desc.materials, cwd=cwd)
+    mats, has_tex_slot, fourier_tables, has_subsurface = compile_materials(
+        desc.materials, cwd=cwd)
     from pbrt_tpu.materials.fourier import build_fourier_table
     fourier_tab = build_fourier_table(fourier_tables)
 
@@ -570,8 +573,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         use_bvh=use_bvh, accel=accel, has_tex_slot=has_tex_slot,
         any_normals=bool(thn.any()), any_uv=True,
         n_media=len(desc.media),
-        any_grid_media=bool(np.any(np.asarray(media_tab.kind) == 1)) and len(desc.media) > 0,
-        has_subsurface=bool(np.asarray(mats.sss[:, 0]).any()),
+        any_grid_media=any_grid_media and len(desc.media) > 0,
+        has_subsurface=has_subsurface,
         has_fourier=bool(fourier_tables),
         use_pallas=use_pallas,
         has_alpha=bool(np.any(np.asarray(prim_alpha, np.int32) >= 0)),

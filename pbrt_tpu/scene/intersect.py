@@ -116,6 +116,11 @@ def _closest_tris(scene, flags, o, d, t_best, anyhit_mask=None):
                                 o, d, t_best)
 
 
+def _smem_fits(pbvh):
+    from pbrt_tpu.accel.pallas_traverse import SMEM_META_MAX
+    return pbvh.metas.shape[0] <= SMEM_META_MAX
+
+
 def _hit_attr(scene, th):
     """Packed attribute rows for a TriHit: slot-keyed when the Pallas kernel
     produced slots (skips the slot->tri order gather), tri-keyed otherwise."""
@@ -277,6 +282,48 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
                                      shadow=jnp.concatenate(
                                          [jnp.zeros((N,), bool),
                                           jnp.ones((N,), bool)]))
+        elif (flags.use_pallas and flags.n_instances == 0
+              and scene.pbvh is not None and _smem_fits(scene.pbvh)):
+            # sorted + compacted dispatch: bounce wavefronts scatter after
+            # the first bounce, and traversal cost tracks the per-1024-ray
+            # block's node-sequence union. Regrouping lanes by (live,
+            # shadow-vs-next, origin-cell morton | direction octant) cuts
+            # union iterations ~20% and herds dead lanes into whole dead
+            # blocks (which retire in one root test). The permutation rides
+            # lax.sort CO-SORTING (key + ray columns through the sort
+            # network) both ways: in-module XLA gathers/scatters lower to a
+            # serial ~100ns/row path (25-50 ms for this shuffle!) while the
+            # sort network is ~1 ms. Rays cross the boundary as [N] columns
+            # — [N,3] column slices are ~1-2 ms layout conversions each.
+            from pbrt_tpu.accel.pallas_traverse import (_ray_sort_key_cols,
+                                                        _traverse_cols)
+            o2t, d2t = o2.T, d2.T
+            ox, oy, oz = o2t[0], o2t[1], o2t[2]
+            dx, dy, dz = d2t[0], d2t[1], d2t[2]
+            live2 = jnp.concatenate([active_nx, active_sh])
+            is_sh = jnp.concatenate([jnp.zeros((N,), bool),
+                                     jnp.ones((N,), bool)])
+            key = _ray_sort_key_cols(scene.pbvh, ox, oy, oz, dx, dy, dz)
+            key = key | jnp.where(is_sh, jnp.int32(1 << 24), 0)
+            key = jnp.where(live2, key, jnp.int32(0x7FFFFFFF))
+            lane = jnp.arange(2 * N, dtype=jnp.int32)
+            (_, oxs, oys, ozs, dxs, dys, dzs, tms, ahs, lanes) = jax.lax.sort(
+                (key, ox, oy, oz, dx, dy, dz, tm2,
+                 is_sh.astype(jnp.int32), lane), dimension=0, num_keys=1)
+            ths = _traverse_cols(scene.pbvh, oxs, oys, ozs, dxs, dys, dzs,
+                                 tms, anyhit_mask=ahs > 0)
+            # unsort by a second co-sort keyed on the original lane id
+            slot_s = ths.slot if ths.slot is not None else ths.tri
+            (_, t_u, b1_u, b2_u, slot_u) = jax.lax.sort(
+                (lanes, ths.t, ths.b1, ths.b2, slot_s),
+                dimension=0, num_keys=1)
+            if ths.slot is not None:
+                # tri ids stay unresolved (-1): this branch is gated to
+                # no-instance no-alpha scenes, where assembly is slot-keyed
+                th = TriHit(t_u, jnp.full_like(slot_u, -1), b1_u, b2_u,
+                            slot_u)
+            else:
+                th = TriHit(t_u, slot_u, b1_u, b2_u, None)
         else:
             # shadow half is occlusion-only: its blocks retire lanes at
             # their first hit inside the kernel

@@ -62,8 +62,9 @@ def test_kdtree_matches_bruteforce(tri_soup):
 
 
 def test_native_matches_numpy_fallback(tri_soup):
+    from pbrt_tpu.accel.bvh import _to_device
     lo, hi, tp, o, d, tm, ref = tri_soup
-    native = _build_bvh_native(lo, hi, 4, "hlbvh")
+    native = _build_bvh_native(lo, hi, 4, "hlbvh")  # HostBVH (numpy)
     assert native is not None
-    th = intersect_bvh(native, *tp, o, d, tm)
+    th = intersect_bvh(_to_device(native), *tp, o, d, tm)
     assert np.array_equal(np.asarray(th.tri), np.asarray(ref.tri))

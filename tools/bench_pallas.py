@@ -34,7 +34,7 @@ def main():
     hi = np.maximum(np.maximum(p0, p1), p2)
     bvh = build_bvh(lo, hi)
     tp0, tp1, tp2 = jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2)
-    pb = pack_pallas_bvh(bvh, tp0, tp1, tp2)
+    pb, _ = pack_pallas_bvh(bvh, tp0, tp1, tp2)
     print(f"tris={len(p0)} nodes={bvh.n_nodes} N={N} "
           f"vmem={pb.vmem_bytes/1e6:.1f}MB backend={jax.devices()[0].platform}")
 

@@ -22,7 +22,7 @@ bvh = build_bvh(lo, hi)
 print(f"tris={len(p0)} nodes={bvh.n_nodes}")
 
 tp0, tp1, tp2 = jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2)
-pb = pack_pallas_bvh(bvh, tp0, tp1, tp2)
+pb, _ = pack_pallas_bvh(bvh, tp0, tp1, tp2)
 print("nodes2d", pb.nodes.shape, "tris2d", pb.tris.shape, "meta", pb.meta.shape)
 
 N = 1500  # deliberately not a multiple of 1024
