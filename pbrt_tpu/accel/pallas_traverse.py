@@ -62,6 +62,13 @@ class PallasBVH(NamedTuple):
     wlo: jnp.ndarray     # [3] world bounds (ray-sort key normalization)
     whi: jnp.ndarray     # [3]
     metas: jnp.ndarray   # [M] i32 — packed ax|cnt<<2|payload<<6 (SMEM path)
+    # occluder seed: the 8 largest-area triangles, tested once per block
+    # BEFORE the walk to seed t_best — rays that hit dominant geometry
+    # (ground planes, walls) then slab-prune every farther subtree. One
+    # extra leaf-test per block; identical results (revisits of the same
+    # tri fail the strict t< test).
+    seed: jnp.ndarray       # [1, 128] f32 — 8 tris x 16 lanes
+    seed_slots: jnp.ndarray  # [16] i32 — slot id per seed tri; [8] = count
 
     @property
     def vmem_bytes(self) -> int:
@@ -127,10 +134,33 @@ def pack_pallas_bvh(bvh, tri_p0, tri_p1, tri_p2):
     assert M < (1 << 26) and L < (1 << 26), "payload field overflow"
     payload = np.where(meta[:M, 1] > 0, meta[:M, 2], meta[:M, 0])
     metas = (meta[:M, 3] | (meta[:M, 1] << 2) | (payload << 6)).astype(np.int32)
+
+    # occluder seed block: 8 largest-area tris + their leaf-slot ids
+    area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+    T = p0.shape[0]
+    k = min(8, T)
+    top = np.argsort(-area, kind="stable")[:k]      # leaf-order tri indices
+    slot_of = np.full(T, -1, np.int32)
+    valid = new_order >= 0
+    # new_order maps slot -> ORIGINAL id; seed tris are in leaf order, so
+    # map leaf-order index -> slot via the original id
+    orig_of_leaf = order                              # leaf idx -> orig id
+    slot_of_orig = np.full(int(order.max()) + 1, -1, np.int32)
+    slot_of_orig[new_order[valid]] = np.nonzero(valid)[0]
+    seed = np.zeros((8, 16), np.float32)
+    seed_slots = np.full(16, -1, np.int32)
+    for j in range(k):
+        li = int(top[j])
+        seed[j, 0:3] = p0[li]
+        seed[j, 3:6] = p1[li]
+        seed[j, 6:9] = p2[li]
+        seed_slots[j] = slot_of_orig[orig_of_leaf[li]]
+    seed_slots[8] = k
     return PallasBVH(jnp.asarray(nodes), jnp.asarray(meta.reshape(mrows, 128)),
                      jnp.asarray(tris), jnp.asarray(new_order),
                      jnp.asarray(wlo), jnp.asarray(whi),
-                     jnp.asarray(metas)), new_order
+                     jnp.asarray(metas), jnp.asarray(seed.reshape(1, 128)),
+                     jnp.asarray(seed_slots)), new_order
 
 
 def _pick(ax_, ay_, az_, k):
@@ -579,13 +609,15 @@ def _kernel_block(meta_ref, nodes_ref, tris_ref,
     it_out[pl.program_id(0)] = n_it
 
 
-def _kernel_block_all(meta_ref, anyhit_ref, nodes_ref, tris_ref,
+def _kernel_block_all(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
+                      seed_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                       t_out, tri_out, b1_out, b2_out, it_out,
                       stack_ref, sp_ref, ts_ref, tris_scr, b1s_ref, b2s_ref,
                       vscr_ref,
                       *, any_hit: bool, rows: int, pops: int, nblocks: int,
-                      batched_vote: bool = False, dbg_skip_leaf: bool = False):
+                      batched_vote: bool = False, dbg_skip_leaf: bool = False,
+                      leaf_gate: bool = False):
     # batched_vote=True replaces the 2*pops per-slot cross-lane reductions
     # with one log-roll OR + a VMEM scalar readback — measured 17% SLOWER
     # (6.15 -> 7.21 ms bounce traversal): per-row reduce->scalar syncs are
@@ -617,6 +649,13 @@ def _kernel_block_all(meta_ref, anyhit_ref, nodes_ref, tris_ref,
         inv_dx = 1.0 / jnp.where(jnp.abs(dx) < tiny, jnp.where(dx < 0, -tiny, tiny), dx)
         inv_dy = 1.0 / jnp.where(jnp.abs(dy) < tiny, jnp.where(dy < 0, -tiny, tiny), dy)
         inv_dz = 1.0 / jnp.where(jnp.abs(dz) < tiny, jnp.where(dz < 0, -tiny, tiny), dz)
+        # slab as lo*inv_d - o*inv_d: the o*inv_d half is loop-invariant,
+        # halving per-box ops to one FMA per bound (rounding differs from
+        # the (lo-o)*inv_d form by <1 ulp — covered by the 1.00000024
+        # conservative far factor)
+        oxi = ox * inv_dx
+        oyi = oy * inv_dy
+        ozi = oz * inv_dz
         adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
         kz = jnp.where((adx >= ady) & (adx >= adz), 0, jnp.where(ady >= adz, 1, 2))
         kx = (kz + 1) % 3
@@ -645,12 +684,12 @@ def _kernel_block_all(meta_ref, anyhit_ref, nodes_ref, tris_ref,
             return v + zrow
 
         def slab(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, t_best):
-            t0x = (lo_x - ox) * inv_dx
-            t1x = (hi_x - ox) * inv_dx
-            t0y = (lo_y - oy) * inv_dy
-            t1y = (hi_y - oy) * inv_dy
-            t0z = (lo_z - oz) * inv_dz
-            t1z = (hi_z - oz) * inv_dz
+            t0x = lo_x * inv_dx - oxi
+            t1x = hi_x * inv_dx - oxi
+            t0y = lo_y * inv_dy - oyi
+            t1y = hi_y * inv_dy - oyi
+            t0z = lo_z * inv_dz - ozi
+            t1z = hi_z * inv_dz - ozi
             tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                              jnp.minimum(t0z, t1z))
             tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
@@ -685,6 +724,34 @@ def _kernel_block_all(meta_ref, anyhit_ref, nodes_ref, tris_ref,
             hit = same & (det != 0.0) & t_ok
             inv_det = 1.0 / jnp.where(det == 0.0, tiny, det)
             return hit, t_sc * inv_det, e1 * inv_det, e2 * inv_det
+
+        # ---- occluder seed: test the 8 largest-area tris up front so
+        # t_best starts tight and the walk slab-prunes far subtrees ----
+        scnt = sslot_ref[8]
+
+        @pl.when(scnt > 0)
+        def _seed():
+            z16s = jnp.zeros((rows, 16), f32)
+            t_best = ts_ref[:]
+            tri_b = tris_scr[:]
+            b1_b = b1s_ref[:]
+            b2_b = b2s_ref[:]
+            scnt_col = scnt + jnp.zeros((rows, LANES), jnp.int32)
+            anyv = jnp.where(blk_any, 1, 0) + jnp.zeros((rows, LANES),
+                                                        jnp.int32)
+            sb = seed_ref[0:1, :]
+            for j in range(LEAF_TRIS):
+                hit, t, b1, b2 = tri_test(sb[:, j * 16:(j + 1) * 16] + z16s,
+                                          t_best)
+                ok = hit & (scnt_col > j)
+                t_best = jnp.where(ok, jnp.where(anyv > 0, 0.0, t), t_best)
+                tri_b = jnp.where(ok, sslot_ref[j], tri_b)
+                b1_b = jnp.where(ok, b1, b1_b)
+                b2_b = jnp.where(ok, b2, b2_b)
+            ts_ref[:] = t_best
+            tris_scr[:] = tri_b
+            b1s_ref[:] = b1_b
+            b2s_ref[:] = b2_b
 
         def body(carry):
             it = carry[0]
@@ -738,18 +805,50 @@ def _kernel_block_all(meta_ref, anyhit_ref, nodes_ref, tris_ref,
                     # occlusion-only block: a hit lane's t_best drops to 0
                     anyv = jnp.where(blk_any, 1, 0) + jnp.zeros((rows, LANES),
                                                                 jnp.int32)
-                    for j in range(LEAF_TRIS):
-                        hit, t, b1, b2 = tri_test(tb[:, j * 16:(j + 1) * 16] + z16,
-                                                  t_best)
+
+                    def run(j, st):
+                        t_best, tri_b, b1_b, b2_b = st
+                        hit, t, b1, b2 = tri_test(
+                            tb[:, j * 16:(j + 1) * 16] + z16, t_best)
                         ok = hit & (cnt_col > j)
-                        t_best = jnp.where(ok, jnp.where(anyv > 0, 0.0, t), t_best)
+                        t_best = jnp.where(ok, jnp.where(anyv > 0, 0.0, t),
+                                           t_best)
                         tri_b = jnp.where(ok, blk * LEAF_TRIS + j, tri_b)
                         b1_b = jnp.where(ok, b1, b1_b)
                         b2_b = jnp.where(ok, b2, b2_b)
-                    ts_ref[:] = t_best
-                    tris_scr[:] = tri_b
-                    b1s_ref[:] = b1_b
-                    b2s_ref[:] = b2_b
+                        return t_best, tri_b, b1_b, b2_b
+
+                    st = (t_best, tri_b, b1_b, b2_b)
+                    if not leaf_gate:
+                        for j in range(LEAF_TRIS):
+                            st = run(j, st)
+                        ts_ref[:] = st[0]
+                        tris_scr[:] = st[1]
+                        b1s_ref[:] = st[2]
+                        b2s_ref[:] = st[3]
+                        return
+                    for j in range(LEAF_TRIS // 2):
+                        st = run(j, st)
+
+                    # second half gated on the scalar count: mean SAH leaf
+                    # occupancy is ~6 of 8, and ~20% of leaves fit in 4 —
+                    # their 4x[rows,128] wasted tri tests are the single
+                    # biggest avoidable VPU cost in the walk
+                    @pl.when(cnt <= LEAF_TRIS // 2)
+                    def _store_small(st=st):
+                        ts_ref[:] = st[0]
+                        tris_scr[:] = st[1]
+                        b1s_ref[:] = st[2]
+                        b2s_ref[:] = st[3]
+
+                    @pl.when(cnt > LEAF_TRIS // 2)
+                    def _rest(st=st):
+                        for j in range(LEAF_TRIS // 2, LEAF_TRIS):
+                            st = run(j, st)
+                        ts_ref[:] = st[0]
+                        tris_scr[:] = st[1]
+                        b1s_ref[:] = st[2]
+                        b2s_ref[:] = st[3]
 
             # ONE vote for all slots: per-lane bitmask (bits disjoint per
             # slot/side, so per-lane adds don't collide), OR-reduced across
@@ -829,23 +928,25 @@ def _ray_sort_key(pb, o, d):
                               d[:, 0], d[:, 1], d[:, 2])
 
 
-def _ray_sort_key_cols(pb, ox, oy, oz, dx, dy, dz):
-    """Column-SoA form of _ray_sort_key (15-bit key)."""
+def _ray_sort_key_cols(pb, ox, oy, oz, dx, dy, dz, cells: int = 16):
+    """Column-SoA form of _ray_sort_key (18-bit key at 32 cells/axis)."""
     ext = jnp.maximum(pb.whi - pb.wlo, 1e-6)
-    qx = jnp.clip((ox - pb.wlo[0]) / ext[0] * 16.0, 0.0, 15.0).astype(jnp.int32)
-    qy = jnp.clip((oy - pb.wlo[1]) / ext[1] * 16.0, 0.0, 15.0).astype(jnp.int32)
-    qz = jnp.clip((oz - pb.wlo[2]) / ext[2] * 16.0, 0.0, 15.0).astype(jnp.int32)
+    c = float(cells)
+    qx = jnp.clip((ox - pb.wlo[0]) / ext[0] * c, 0.0, c - 1).astype(jnp.int32)
+    qy = jnp.clip((oy - pb.wlo[1]) / ext[1] * c, 0.0, c - 1).astype(jnp.int32)
+    qz = jnp.clip((oz - pb.wlo[2]) / ext[2] * c, 0.0, c - 1).astype(jnp.int32)
     def expand(v):
         v = v & 0xFF
         v = (v | (v << 4)) & 0x0F0F
         v = (v | (v << 2)) & 0x3333
         v = (v | (v << 1)) & 0x5555
         return v
-    mxy = expand(qx) | (expand(qz) << 1)
+    bits = cells.bit_length() - 1
+    mxz = expand(qx) | (expand(qz) << 1)
     oct_ = ((dx < 0).astype(jnp.int32)
             + 2 * (dy < 0).astype(jnp.int32)
             + 4 * (dz < 0).astype(jnp.int32))
-    return (mxy << 7) | (qy << 3) | oct_
+    return (mxz << (3 + bits)) | (qy << 3) | oct_
 
 
 POPS = 8
@@ -853,11 +954,11 @@ POPS = 8
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
                                              "with_iters", "rows", "pops",
-                                             "dbg_skip_leaf"))
+                                             "dbg_skip_leaf", "leaf_gate"))
 def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
                    any_hit=False, interpret=False, with_iters=False,
                    rows=ROWS, pops=POPS, anyhit_mask=None,
-                   dbg_skip_leaf=False):
+                   dbg_skip_leaf=False, leaf_gate=False):
     """Column-SoA mega-packet traversal (block1 mode only).
 
     Takes per-component [N] ray columns — [N,3] column slices and
@@ -899,7 +1000,7 @@ def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
                      ).astype(jnp.int32)
     kern = functools.partial(_kernel_block_all, any_hit=any_hit, rows=rows,
                              pops=pops, nblocks=nblocks,
-                             dbg_skip_leaf=dbg_skip_leaf)
+                             dbg_skip_leaf=dbg_skip_leaf, leaf_gate=leaf_gate)
     out_shapes = [jax.ShapeDtypeStruct((R, LANES), jnp.float32),
                   jax.ShapeDtypeStruct((R, LANES), jnp.int32),
                   jax.ShapeDtypeStruct((R, LANES), jnp.float32),
@@ -910,7 +1011,7 @@ def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
     t, tri, b1, b2, iters = pl.pallas_call(
         kern,
         out_shape=out_shapes,
-        in_specs=[sm, sm, vm, vm] + [vm] * 7,
+        in_specs=[sm, sm, sm, vm, vm, vm] + [vm] * 7,
         out_specs=[vm] * 4 + [sm],
         scratch_shapes=[pltpu.SMEM((STACKB,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32),
@@ -920,7 +1021,8 @@ def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
                         pltpu.VMEM((rows, LANES), jnp.float32),
                         pltpu.VMEM((rows, LANES), jnp.int32)],
         interpret=interpret,
-    )(pb.metas, ah_blocks, pb.nodes, pb.tris, *[comp(c) for c in cols])
+    )(pb.metas, ah_blocks, pb.seed_slots, pb.nodes, pb.tris, pb.seed,
+      *[comp(c) for c in cols])
     slot = tri.reshape(-1)[:N]
     # NB: the order gather is dead code (DCE'd) for callers that consume
     # attributes via the slot-keyed packed table (scene/intersect.py)

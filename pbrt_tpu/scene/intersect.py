@@ -116,6 +116,9 @@ def _closest_tris(scene, flags, o, d, t_best, anyhit_mask=None):
                                 o, d, t_best)
 
 
+SORT_MIN_NODES = 8192   # sorted dispatch pays off only on deep trees
+
+
 def _smem_fits(pbvh):
     from pbrt_tpu.accel.pallas_traverse import SMEM_META_MAX
     return pbvh.metas.shape[0] <= SMEM_META_MAX
@@ -283,7 +286,8 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
                                          [jnp.zeros((N,), bool),
                                           jnp.ones((N,), bool)]))
         elif (flags.use_pallas and flags.n_instances == 0
-              and scene.pbvh is not None and _smem_fits(scene.pbvh)):
+              and scene.pbvh is not None and _smem_fits(scene.pbvh)
+              and scene.pbvh.metas.shape[0] >= SORT_MIN_NODES):
             # sorted + compacted dispatch: bounce wavefronts scatter after
             # the first bounce, and traversal cost tracks the per-1024-ray
             # block's node-sequence union. Regrouping lanes by (live,
