@@ -154,7 +154,6 @@ class Api:
         # object instancing
         self.current_object: Optional[str] = None
         self.objects: Dict[str, List[ShapeRecord]] = {}
-        self.object_begin_ctm: Dict[str, TransformSet] = {}
         self.proto_ids: Dict[str, int] = {}
         self._transform_times = (0.0, 1.0)
 
@@ -375,7 +374,6 @@ class Api:
         self.attribute_begin()
         self.current_object = name
         self.objects[name] = []
-        self.object_begin_ctm[name] = self.ctm.clone()
 
     def object_end(self):
         self.current_object = None
@@ -397,11 +395,13 @@ class Api:
             if name not in self.proto_ids:
                 self.proto_ids[name] = len(self.scene.prototypes)
                 self.scene.prototypes.append(list(recs))
-            begin = self.object_begin_ctm.get(name, TransformSet())
-            # instance transform relative to the ObjectBegin frame
-            # (prototype vertices already carry the definition CTM)
-            m0 = self.ctm.t[0] * begin.t[0].inverse()
-            m1 = self.ctm.t[1] * begin.t[1].inverse()
+            # reference semantics (api/src/lib.rs pbrt_object_instance):
+            # prototype vertices are baked with the FULL definition-time CTM
+            # (including any transform active at ObjectBegin), and the raw
+            # instance CTM maps that instance space to world — matching
+            # _bake_instance below
+            m0 = self.ctm.t[0]
+            m1 = self.ctm.t[1]
             self.scene.instances.append(dict(
                 proto=self.proto_ids[name],
                 m_p2w0=m0.m.copy(), m_w2p0=m0.m_inv.copy(),

@@ -115,3 +115,23 @@ def test_rotated_scaled_instance_matches_baked():
     img_i = render(cs_i)
     img_b = render(load_scene_string(baked))
     np.testing.assert_allclose(img_i, img_b, rtol=5e-3, atol=5e-3)
+
+
+def test_instance_defined_under_nonidentity_ctm_matches_baked():
+    """Prototype defined AFTER a Translate (non-identity CTM at ObjectBegin):
+    reference semantics bake the full definition CTM into the prototype and
+    apply the raw instance CTM on top (api/src/lib.rs pbrt_object_instance)
+    — r3 advisor found the shared path divided out the ObjectBegin CTM."""
+    defs = 'Translate 0 0.8 0\nObjectBegin "pyr"\n  Material "matte" "rgb Kd" [0.7 0.3 0.2]\n' \
+        + PYRAMID + 'ObjectEnd\n'
+    inst = (HEAD + 'AttributeBegin\n' + defs
+            + 'AttributeEnd\nAttributeBegin\n  Translate 1 0 0\n'
+            + '  ObjectInstance "pyr"\nAttributeEnd\nWorldEnd\n')
+    baked = (HEAD + 'AttributeBegin\n  Material "matte" "rgb Kd" [0.7 0.3 0.2]\n'
+             + '  Translate 1 0 0\n  Translate 0 0.8 0\n'
+             + PYRAMID + 'AttributeEnd\nWorldEnd\n')
+    cs_i = load_scene_string(inst)
+    assert cs_i.flags.n_instances == 1
+    img_i = render(cs_i)
+    img_b = render(load_scene_string(baked))
+    np.testing.assert_allclose(img_i, img_b, rtol=5e-3, atol=5e-3)
