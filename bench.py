@@ -111,10 +111,15 @@ def report_scene(prep):
     _, it_bnc = jax.jit(lambda o, d, t: _traverse(cs.data.pbvh, o, d, t,
                                                   with_iters=True))(
         si.p + si.ng * 1e-3, d_b, tmax)
+    # bit 24+ of each block's counter is the stack-overflow flag (no
+    # silent caps: a non-zero count means missed hits and must be fixed)
+    it_cam, it_bnc = np.asarray(it_cam), np.asarray(it_bnc)
+    ovf = int((it_cam >> 24).sum() + (it_bnc >> 24).sum())
     return dict(mrays=round(mrays, 3), msamples=round(msamples, 3),
                 rays_per_sample=round(rays_per_sample, 2),
-                iters_per_block_camera=round(float(np.mean(it_cam)), 1),
-                iters_per_block_bounce=round(float(np.mean(it_bnc)), 1))
+                iters_per_block_camera=round(float(np.mean(it_cam & 0xFFFFFF)), 1),
+                iters_per_block_bounce=round(float(np.mean(it_bnc & 0xFFFFFF)), 1),
+                stack_overflow_blocks=ovf)
 
 
 def main():

@@ -69,6 +69,14 @@ class PallasBVH(NamedTuple):
     # tri fail the strict t< test).
     seed: jnp.ndarray       # [1, 128] f32 — 8 tris x 16 lanes
     seed_slots: jnp.ndarray  # [16] i32 — slot id per seed tri; [8] = count
+    # ---- 4-wide collapse (None on trees too small / too big for SMEM) ----
+    # A BVH4 node groups a BVH2 internal node's up-to-4 grandchildren: the
+    # intermediate level's boxes are never slab-tested, halving internal
+    # box tests and nearly halving walk iterations (bvh/mod.rs stays
+    # 2-wide; this is a TPU scheduling choice, not a reference structure).
+    nodes4: jnp.ndarray = None  # [ceil(M4/4), 128] f32 — 4 slots x 6 bounds
+    meta4: jnp.ndarray = None   # [4*M4] i32 — per-slot push word (see pack)
+    axs4: jnp.ndarray = None    # [M4] i32 — a0 | a1<<2 | a2<<4 split axes
 
     @property
     def vmem_bytes(self) -> int:
@@ -156,11 +164,89 @@ def pack_pallas_bvh(bvh, tri_p0, tri_p1, tri_p2):
         seed[j, 6:9] = p2[li]
         seed_slots[j] = slot_of_orig[orig_of_leaf[li]]
     seed_slots[8] = k
+    blockid = np.full(M, -1, np.int64)
+    blockid[leaf_ids] = np.arange(len(leaf_ids))
+    four = _pack_bvh4(packed, cnts, right, axis, blockid)
+    n4, m4, a4 = four if four is not None else (None, None, None)
     return PallasBVH(jnp.asarray(nodes), jnp.asarray(meta.reshape(mrows, 128)),
                      jnp.asarray(tris), jnp.asarray(new_order),
                      jnp.asarray(wlo), jnp.asarray(whi),
                      jnp.asarray(metas), jnp.asarray(seed.reshape(1, 128)),
-                     jnp.asarray(seed_slots)), new_order
+                     jnp.asarray(seed_slots), n4, m4, a4), new_order
+
+
+SMEM4_MAX_WORDS = 36864   # meta4 (4*M4) + axs4 (M4) SMEM word budget
+# empty-slot box = NaN bounds: every slab comparison with NaN is false, so
+# the slot can never vote a push. (An INVERTED lo>hi box does NOT work: the
+# slab's per-axis min/max normalization turns it into an infinite box.)
+_EMPTY_B = float("nan")
+LEAF_TAG = 1 << 30        # stack-entry tag: leaf block (cnt in bits 26-29)
+
+
+def _pack_bvh4(packed, cnts, right, axis, blockid):
+    """Collapse the 2-wide tree into 4-wide nodes (host, numpy).
+
+    Each BVH4 node is built from a BVH2 internal node i: for each child c,
+    if c is a leaf it contributes ONE slot (c's box, tested at this level
+    exactly as BVH2 would); if c is internal it contributes c's TWO
+    children as slots (their boxes from packed[c]) and c's own box is
+    never tested. Slot words are the exact stack entries the kernel
+    pushes: internal -> BVH4 id, leaf -> LEAF_TAG | cnt<<26 | block.
+    Returns (nodes4 [R4,128] f32, meta4 [4*M4] i32, axs4 [M4] i32) or None
+    when the tree is trivial."""
+    M = packed.shape[0]
+    if M < 8 or cnts[0] > 0:
+        return None
+    from collections import deque
+    ids = {0: 0}
+    order = [0]
+    q = deque([0])
+    boxes = []      # [M4, 4, 6]
+    words = []      # [M4, 4]
+    axws = []       # [M4]
+    empty_box = np.full(6, _EMPTY_B, np.float32)
+
+    def slot_of(g, gbox):
+        if cnts[g] > 0:
+            w = LEAF_TAG | (int(min(cnts[g], LEAF_TRIS)) << 26) \
+                | int(blockid[g])
+            return w, gbox
+        if g not in ids:
+            ids[g] = len(order)
+            order.append(g)
+            q.append(g)
+        return ids[g], gbox
+
+    while q:
+        i = q.popleft()
+        sw = [0, 0, 0, 0]
+        sb = [empty_box] * 4
+        a = [int(axis[i]), 0, 0]
+        for side, c in ((0, i + 1), (1, int(right[i]))):
+            cbox = packed[i, side * 6:side * 6 + 6]
+            if cnts[c] > 0:
+                sw[side * 2], sb[side * 2] = slot_of(c, cbox)
+            else:
+                a[1 + side] = int(axis[c])
+                for s2, g in ((0, c + 1), (1, int(right[c]))):
+                    gbox = packed[c, s2 * 6:s2 * 6 + 6]
+                    sw[side * 2 + s2], sb[side * 2 + s2] = slot_of(g, gbox)
+        boxes.append(sb)
+        words.append(sw)
+        axws.append(a[0] | (a[1] << 2) | (a[2] << 4))
+
+    M4 = len(order)
+    assert M4 < (1 << 26), "BVH4 id overflow"
+    if 5 * M4 > SMEM4_MAX_WORDS:
+        return None
+    rows4 = -(-M4 // 4)
+    nodes4 = np.zeros((rows4 * 4, 32), np.float32)
+    nodes4[:, :24] = _EMPTY_B
+    nodes4[:M4, :24] = np.asarray(boxes, np.float32).reshape(M4, 24)
+    meta4 = np.asarray(words, np.int32).reshape(-1)
+    axs4 = np.asarray(axws, np.int32)
+    return (jnp.asarray(nodes4.reshape(rows4, 128)), jnp.asarray(meta4),
+            jnp.asarray(axs4))
 
 
 def _pick(ax_, ay_, az_, k):
@@ -754,7 +840,7 @@ def _kernel_block_all(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
             b2s_ref[:] = b2_b
 
         def body(carry):
-            it = carry[0]
+            it, _, ovf0 = carry
             sp0 = sp_ref[0]
             slots = []
             for p in range(pops):
@@ -868,6 +954,7 @@ def _kernel_block_all(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
                 vote_word = vscr_ref[0, 0]
 
             sp_s = jnp.maximum(sp0 - pops, 0)
+            ovf = ovf0
             for p in reversed(range(pops)):
                 act, left, payload, cnt, blk, ax, rec, tb = slots[p]
                 if batched_vote:
@@ -887,20 +974,284 @@ def _kernel_block_all(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
                 h_far = jnp.where(swap, hl, hr)
                 stack_ref[jnp.minimum(sp_s, STACKB - 1)] = far
                 stack_ref[jnp.minimum(sp_s + h_far, STACKB - 1)] = near
+                # stack-overflow accounting (r3 advisor: no silent caps) —
+                # reported in it_out bit 24, surfaced by bench/stats
+                ovf = jnp.maximum(ovf, jnp.where(
+                    sp_s + h_far + h_near > STACKB - 1, 1, 0))
                 sp_s = jnp.minimum(sp_s + h_far + h_near, STACKB - 1)
 
             all_hit = jnp.sum(jnp.where(tris_scr[:] >= 0, 1, 0)) == rows * LANES
             sp_s = jnp.where(jnp.logical_and(blk_any if not any_hit else True,
                                              all_hit), 0, sp_s)
             sp_ref[0] = sp_s
-            return (it + 1, sp_s > 0)
+            return (it + 1, sp_s > 0, ovf)
 
-        n_it, _ = jax.lax.while_loop(lambda c: c[1], body, (0, True))
+        n_it, _, ovf = jax.lax.while_loop(lambda c: c[1], body,
+                                          (0, True, jnp.int32(0)))
         t_out[sl, :] = ts_ref[:]
         tri_out[sl, :] = tris_scr[:]
         b1_out[sl, :] = b1s_ref[:]
         b2_out[sl, :] = b2s_ref[:]
-        it_out[b] = n_it
+        it_out[b] = n_it | (ovf << 24)
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, block_body, 0)
+
+
+def _kernel_block4_all(meta4_ref, axs4_ref, anyhit_ref, sslot_ref,
+                       nodes4_ref, tris_ref, seed_ref,
+                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+                       t_out, tri_out, b1_out, b2_out, it_out,
+                       stack_ref, sp_ref, ts_ref, tris_scr, b1s_ref, b2s_ref,
+                       *, any_hit: bool, rows: int, pops: int, nblocks: int,
+                       dbg_skip_leaf: bool = False):
+    """4-wide mega-packet traversal: same wavefront contract as
+    _kernel_block_all but over the collapsed BVH4 tables.
+
+    Stack entries ARE the pack-time slot words: internal -> BVH4 node id,
+    leaf -> LEAF_TAG | cnt<<26 | leaf block. A pop of an internal entry
+    slab-tests its 4 slots and pushes the hit slot words far-to-near
+    (ordered by the grouping node's 3 stored split axes x the block's
+    majority direction signs); a pop of a leaf entry runs the 8-triangle
+    block test. Versus the 2-wide walk this never tests the skipped
+    level's boxes (~half the internal slab work) and nearly halves
+    iterations. it_out[b] carries iterations | (stack-overflow flag << 24)
+    — no silent stack truncation (r3 advisor)."""
+    f32 = jnp.float32
+    tiny = f32(1e-20)
+
+    def block_body(b, _):
+        sl = pl.ds(b * rows, rows)
+        blk_any = (anyhit_ref[b] > 0) if not any_hit else True
+        ox, oy, oz = ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :]
+        dx, dy, dz = dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :]
+        tm = tm_ref[sl, :]
+        inv_dx = 1.0 / jnp.where(jnp.abs(dx) < tiny, jnp.where(dx < 0, -tiny, tiny), dx)
+        inv_dy = 1.0 / jnp.where(jnp.abs(dy) < tiny, jnp.where(dy < 0, -tiny, tiny), dy)
+        inv_dz = 1.0 / jnp.where(jnp.abs(dz) < tiny, jnp.where(dz < 0, -tiny, tiny), dz)
+        oxi = ox * inv_dx
+        oyi = oy * inv_dy
+        ozi = oz * inv_dz
+        adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+        kz = jnp.where((adx >= ady) & (adx >= adz), 0, jnp.where(ady >= adz, 1, 2))
+        kx = (kz + 1) % 3
+        ky = (kx + 1) % 3
+        dpz = _pick(dx, dy, dz, kz)
+        dpx = _pick(dx, dy, dz, kx)
+        dpy = _pick(dx, dy, dz, ky)
+        sz = 1.0 / jnp.where(dpz == 0.0, tiny, dpz)
+        sx = -dpx * sz
+        sy = -dpy * sz
+        half = rows * LANES // 2
+        swap_axis = [jnp.sum(jnp.where(dx < 0.0, 1, 0)) > half,
+                     jnp.sum(jnp.where(dy < 0.0, 1, 0)) > half,
+                     jnp.sum(jnp.where(dz < 0.0, 1, 0)) > half]
+
+        ts_ref[:] = tm
+        tris_scr[:] = jnp.full((rows, LANES), -1, jnp.int32)
+        b1s_ref[:] = jnp.zeros((rows, LANES), f32)
+        b2s_ref[:] = jnp.zeros((rows, LANES), f32)
+        stack_ref[0] = 0          # root = internal BVH4 node 0
+        sp_ref[0] = 1
+
+        zrow = jnp.zeros((rows, 1), f32)
+
+        def bc(v):
+            return v + zrow
+
+        def slab(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, t_best):
+            t0x = lo_x * inv_dx - oxi
+            t1x = hi_x * inv_dx - oxi
+            t0y = lo_y * inv_dy - oyi
+            t1y = hi_y * inv_dy - oyi
+            t0z = lo_z * inv_dz - ozi
+            t1z = hi_z * inv_dz - ozi
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                             jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z)) * f32(1.00000024)
+            return (tn <= tf) & (tf > 0.0) & (tn < t_best)
+
+        def tri_test(v, t_best):
+            p0x, p0y, p0z = v[:, 0:1], v[:, 1:2], v[:, 2:3]
+            p1x, p1y, p1z = v[:, 3:4], v[:, 4:5], v[:, 5:6]
+            p2x, p2y, p2z = v[:, 6:7], v[:, 7:8], v[:, 8:9]
+
+            def shear(px, py, pz):
+                tx, ty, tz = px - ox, py - oy, pz - oz
+                vx = _pick(tx, ty, tz, kx)
+                vy = _pick(tx, ty, tz, ky)
+                vz = _pick(tx, ty, tz, kz)
+                return vx + sx * vz, vy + sy * vz, vz * sz
+
+            x0, y0, z0 = shear(p0x, p0y, p0z)
+            x1, y1, z1 = shear(p1x, p1y, p1z)
+            x2, y2, z2 = shear(p2x, p2y, p2z)
+            e0 = x1 * y2 - y1 * x2
+            e1 = x2 * y0 - y2 * x0
+            e2 = x0 * y1 - y0 * x1
+            same = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
+                ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+            det = e0 + e1 + e2
+            t_sc = e0 * z0 + e1 * z1 + e2 * z2
+            pos = det > 0
+            t_ok = (pos & (t_sc > f32(1e-4) * det) & (t_sc < t_best * det)) \
+                | (~pos & (t_sc < f32(1e-4) * det) & (t_sc > t_best * det))
+            hit = same & (det != 0.0) & t_ok
+            inv_det = 1.0 / jnp.where(det == 0.0, tiny, det)
+            return hit, t_sc * inv_det, e1 * inv_det, e2 * inv_det
+
+        scnt = sslot_ref[8]
+
+        @pl.when(scnt > 0)
+        def _seed():
+            z16s = jnp.zeros((rows, 16), f32)
+            t_best = ts_ref[:]
+            tri_b = tris_scr[:]
+            b1_b = b1s_ref[:]
+            b2_b = b2s_ref[:]
+            scnt_col = scnt + jnp.zeros((rows, LANES), jnp.int32)
+            anyv = jnp.where(blk_any, 1, 0) + jnp.zeros((rows, LANES),
+                                                        jnp.int32)
+            sb = seed_ref[0:1, :]
+            for j in range(LEAF_TRIS):
+                hit, t, b1, b2 = tri_test(sb[:, j * 16:(j + 1) * 16] + z16s,
+                                          t_best)
+                ok = hit & (scnt_col > j)
+                t_best = jnp.where(ok, jnp.where(anyv > 0, 0.0, t), t_best)
+                tri_b = jnp.where(ok, sslot_ref[j], tri_b)
+                b1_b = jnp.where(ok, b1, b1_b)
+                b2_b = jnp.where(ok, b2, b2_b)
+            ts_ref[:] = t_best
+            tris_scr[:] = tri_b
+            b1s_ref[:] = b1_b
+            b2s_ref[:] = b2_b
+
+        def body(carry):
+            it, _, ovf0 = carry
+            sp0 = sp_ref[0]
+            slots = []
+            for p in range(pops):
+                act = sp0 > p
+                spi = jnp.maximum(sp0 - 1 - p, 0)
+                e = stack_ref[spi]
+                e = jnp.where(act, e, LEAF_TAG)   # inactive: leaf, cnt 0
+                is_leaf = (e >> 30) & 1
+                cnt = jnp.where(is_leaf > 0, (e >> 26) & 15, 0)
+                pay = e & 0x3FFFFFF
+                blk = jnp.where(is_leaf > 0, pay, 0)
+                nid = jnp.where(is_leaf > 0, 0, pay)
+                ws = [meta4_ref[4 * nid + j] for j in range(4)]
+                axw = axs4_ref[nid]
+                nrow = nodes4_ref[pl.ds(nid >> 2, 1), :]
+                rec = pltpu.roll(nrow, -(nid & 3) * 32, 1)[:, :32]
+                tb = tris_ref[pl.ds(blk, 1), :]
+                is_int = act & (is_leaf == 0)
+                slots.append([is_int, cnt, blk, ws, axw, rec, tb])
+
+            t_best0 = ts_ref[:]
+            hits = []
+            for p in range(pops):
+                is_int, cnt, blk, ws, axw, rec, tb = slots[p]
+                gate = jnp.where(is_int, 1, 0) \
+                    + jnp.zeros((rows, LANES), jnp.int32)
+                hs = []
+                for j in range(4):
+                    o6 = j * 6
+                    hs.append(slab(bc(rec[:, o6:o6 + 1]), bc(rec[:, o6 + 1:o6 + 2]),
+                                   bc(rec[:, o6 + 2:o6 + 3]), bc(rec[:, o6 + 3:o6 + 4]),
+                                   bc(rec[:, o6 + 4:o6 + 5]), bc(rec[:, o6 + 5:o6 + 6]),
+                                   t_best0) & (gate > 0))
+                hits.append(hs)
+
+            z16 = jnp.zeros((rows, 16), f32)
+            for p in range(pops if not dbg_skip_leaf else 0):
+                is_int, cnt, blk, ws, axw, rec, tb = slots[p]
+
+                @pl.when(cnt > 0)
+                def _leaf(cnt=cnt, blk=blk, tb=tb):
+                    t_best = ts_ref[:]
+                    tri_b = tris_scr[:]
+                    b1_b = b1s_ref[:]
+                    b2_b = b2s_ref[:]
+                    cnt_col = cnt + jnp.zeros((rows, LANES), jnp.int32)
+                    anyv = jnp.where(blk_any, 1, 0) + jnp.zeros((rows, LANES),
+                                                                jnp.int32)
+                    for j in range(LEAF_TRIS):
+                        hit, t, b1, b2 = tri_test(
+                            tb[:, j * 16:(j + 1) * 16] + z16, t_best)
+                        ok = hit & (cnt_col > j)
+                        t_best = jnp.where(ok, jnp.where(anyv > 0, 0.0, t),
+                                           t_best)
+                        tri_b = jnp.where(ok, blk * LEAF_TRIS + j, tri_b)
+                        b1_b = jnp.where(ok, b1, b1_b)
+                        b2_b = jnp.where(ok, b2, b2_b)
+                    ts_ref[:] = t_best
+                    tris_scr[:] = tri_b
+                    b1s_ref[:] = b1_b
+                    b2s_ref[:] = b2_b
+
+            W = rows * LANES + 1
+            sp_s = jnp.maximum(sp0 - pops, 0)
+            ovf = ovf0
+            for p in reversed(range(pops)):
+                is_int, cnt, blk, ws, axw, rec, tb = slots[p]
+                h0, h1, h2, h3 = hits[p]
+                v01 = jnp.sum(jnp.where(h0, 1, 0) + jnp.where(h1, W, 0))
+                v23 = jnp.sum(jnp.where(h2, 1, 0) + jnp.where(h3, W, 0))
+                b0 = jnp.where(((v01 % W) > 0) & (ws[0] != 0), 1, 0)
+                b1_ = jnp.where((v01 >= W) & (ws[1] != 0), 1, 0)
+                b2_ = jnp.where(((v23 % W) > 0) & (ws[2] != 0), 1, 0)
+                b3 = jnp.where((v23 >= W) & (ws[3] != 0), 1, 0)
+                a0 = axw & 3
+                a1 = (axw >> 2) & 3
+                a2 = (axw >> 4) & 3
+
+                def swp(a):
+                    return jnp.where(a == 0, swap_axis[0],
+                                     jnp.where(a == 1, swap_axis[1],
+                                               swap_axis[2]))
+                s0, s1, s2 = swp(a0), swp(a1), swp(a2)
+                # near child within each pair; near pair by the parent axis
+                e_ln = jnp.where(s1, ws[1], ws[0])
+                e_lf = jnp.where(s1, ws[0], ws[1])
+                h_ln = jnp.where(s1, b1_, b0)
+                h_lf = jnp.where(s1, b0, b1_)
+                e_rn = jnp.where(s2, ws[3], ws[2])
+                e_rf = jnp.where(s2, ws[2], ws[3])
+                h_rn = jnp.where(s2, b3, b2_)
+                h_rf = jnp.where(s2, b2_, b3)
+                e_ff = jnp.where(s0, e_lf, e_rf)
+                e_fn = jnp.where(s0, e_ln, e_rn)
+                e_nf = jnp.where(s0, e_rf, e_lf)
+                e_nn = jnp.where(s0, e_rn, e_ln)
+                h_ff = jnp.where(s0, h_lf, h_rf)
+                h_fn = jnp.where(s0, h_ln, h_rn)
+                h_nf = jnp.where(s0, h_rf, h_lf)
+                h_nn = jnp.where(s0, h_rn, h_ln)
+                stack_ref[jnp.minimum(sp_s, STACKB - 1)] = e_ff
+                sp1 = sp_s + h_ff
+                stack_ref[jnp.minimum(sp1, STACKB - 1)] = e_fn
+                sp2 = sp1 + h_fn
+                stack_ref[jnp.minimum(sp2, STACKB - 1)] = e_nf
+                sp3 = sp2 + h_nf
+                stack_ref[jnp.minimum(sp3, STACKB - 1)] = e_nn
+                ovf = jnp.maximum(ovf, jnp.where(sp3 + h_nn > STACKB - 1, 1, 0))
+                sp_s = jnp.minimum(sp3 + h_nn, STACKB - 1)
+
+            all_hit = jnp.sum(jnp.where(tris_scr[:] >= 0, 1, 0)) == rows * LANES
+            sp_s = jnp.where(jnp.logical_and(blk_any if not any_hit else True,
+                                             all_hit), 0, sp_s)
+            sp_ref[0] = sp_s
+            return (it + 1, sp_s > 0, ovf)
+
+        n_it, _, ovf = jax.lax.while_loop(lambda c: c[1], body,
+                                          (0, True, jnp.int32(0)))
+        t_out[sl, :] = ts_ref[:]
+        tri_out[sl, :] = tris_scr[:]
+        b1_out[sl, :] = b1s_ref[:]
+        b2_out[sl, :] = b2s_ref[:]
+        it_out[b] = n_it | (ovf << 24)
         return 0
 
     jax.lax.fori_loop(0, nblocks, block_body, 0)
@@ -954,11 +1305,12 @@ POPS = 8
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
                                              "with_iters", "rows", "pops",
-                                             "dbg_skip_leaf", "leaf_gate"))
+                                             "dbg_skip_leaf", "leaf_gate",
+                                             "use4"))
 def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
                    any_hit=False, interpret=False, with_iters=False,
                    rows=ROWS, pops=POPS, anyhit_mask=None,
-                   dbg_skip_leaf=False, leaf_gate=False):
+                   dbg_skip_leaf=False, leaf_gate=False, use4=None):
     """Column-SoA mega-packet traversal (block1 mode only).
 
     Takes per-component [N] ray columns — [N,3] column slices and
@@ -998,9 +1350,15 @@ def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
                              jnp.zeros((npad,), jnp.int32)])
         ah_blocks = (jnp.sum(m.reshape(nblocks, BLK), axis=1) == BLK
                      ).astype(jnp.int32)
-    kern = functools.partial(_kernel_block_all, any_hit=any_hit, rows=rows,
-                             pops=pops, nblocks=nblocks,
-                             dbg_skip_leaf=dbg_skip_leaf, leaf_gate=leaf_gate)
+    # default OFF: measured on the 73.7k-tri knot (64K-ray wavefronts),
+    # BVH4 cuts iterations 130 -> 82 (bounce) but total box tests RISE
+    # (82*32 vs 130*16): in a 1024-ray union walk nearly every visited
+    # node's both children hit, so BVH2's parent tests are not wasted
+    # while BVH4 pays 4 grandchild tests on sparse subtrees. Net: bounce
+    # 13.3 -> 13.7 ms large / 5.0 -> 4.7 ms small. Kept as a bit-exact
+    # (tested) alternative for coherent/small-union workloads.
+    if use4 is None:
+        use4 = False
     out_shapes = [jax.ShapeDtypeStruct((R, LANES), jnp.float32),
                   jax.ShapeDtypeStruct((R, LANES), jnp.int32),
                   jax.ShapeDtypeStruct((R, LANES), jnp.float32),
@@ -1008,21 +1366,43 @@ def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
                   jax.ShapeDtypeStruct((nblocks,), jnp.int32)]
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    t, tri, b1, b2, iters = pl.pallas_call(
-        kern,
-        out_shape=out_shapes,
-        in_specs=[sm, sm, sm, vm, vm, vm] + [vm] * 7,
-        out_specs=[vm] * 4 + [sm],
-        scratch_shapes=[pltpu.SMEM((STACKB,), jnp.int32),
-                        pltpu.SMEM((1,), jnp.int32),
-                        pltpu.VMEM((rows, LANES), jnp.float32),
-                        pltpu.VMEM((rows, LANES), jnp.int32),
-                        pltpu.VMEM((rows, LANES), jnp.float32),
-                        pltpu.VMEM((rows, LANES), jnp.float32),
-                        pltpu.VMEM((rows, LANES), jnp.int32)],
-        interpret=interpret,
-    )(pb.metas, ah_blocks, pb.seed_slots, pb.nodes, pb.tris, pb.seed,
-      *[comp(c) for c in cols])
+    if use4 and pb.nodes4 is not None:
+        kern = functools.partial(_kernel_block4_all, any_hit=any_hit,
+                                 rows=rows, pops=pops, nblocks=nblocks,
+                                 dbg_skip_leaf=dbg_skip_leaf)
+        t, tri, b1, b2, iters = pl.pallas_call(
+            kern,
+            out_shape=out_shapes,
+            in_specs=[sm, sm, sm, sm, vm, vm, vm] + [vm] * 7,
+            out_specs=[vm] * 4 + [sm],
+            scratch_shapes=[pltpu.SMEM((STACKB,), jnp.int32),
+                            pltpu.SMEM((1,), jnp.int32),
+                            pltpu.VMEM((rows, LANES), jnp.float32),
+                            pltpu.VMEM((rows, LANES), jnp.int32),
+                            pltpu.VMEM((rows, LANES), jnp.float32),
+                            pltpu.VMEM((rows, LANES), jnp.float32)],
+            interpret=interpret,
+        )(pb.meta4, pb.axs4, ah_blocks, pb.seed_slots, pb.nodes4, pb.tris,
+          pb.seed, *[comp(c) for c in cols])
+    else:
+        kern = functools.partial(_kernel_block_all, any_hit=any_hit, rows=rows,
+                                 pops=pops, nblocks=nblocks,
+                                 dbg_skip_leaf=dbg_skip_leaf, leaf_gate=leaf_gate)
+        t, tri, b1, b2, iters = pl.pallas_call(
+            kern,
+            out_shape=out_shapes,
+            in_specs=[sm, sm, sm, vm, vm, vm] + [vm] * 7,
+            out_specs=[vm] * 4 + [sm],
+            scratch_shapes=[pltpu.SMEM((STACKB,), jnp.int32),
+                            pltpu.SMEM((1,), jnp.int32),
+                            pltpu.VMEM((rows, LANES), jnp.float32),
+                            pltpu.VMEM((rows, LANES), jnp.int32),
+                            pltpu.VMEM((rows, LANES), jnp.float32),
+                            pltpu.VMEM((rows, LANES), jnp.float32),
+                            pltpu.VMEM((rows, LANES), jnp.int32)],
+            interpret=interpret,
+        )(pb.metas, ah_blocks, pb.seed_slots, pb.nodes, pb.tris, pb.seed,
+          *[comp(c) for c in cols])
     slot = tri.reshape(-1)[:N]
     # NB: the order gather is dead code (DCE'd) for callers that consume
     # attributes via the slot-keyed packed table (scene/intersect.py)
@@ -1036,11 +1416,11 @@ def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret", "sort",
                                              "with_iters", "rows", "pops",
-                                             "mode",
+                                             "mode", "use4",
                                              "dbg_skip_leaf", "dbg_push_all"))
 def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
               sort=False, with_iters=False, rows=ROWS, pops=POPS,
-              mode="block1", anyhit_mask=None,
+              mode="block1", anyhit_mask=None, use4=None,
               dbg_skip_leaf=False, dbg_push_all=False):
     if sort:
         perm = jnp.argsort(_ray_sort_key(pb, o, d))
@@ -1058,7 +1438,7 @@ def _traverse(pb: PallasBVH, o, d, t_max, any_hit=False, interpret=False,
         return _traverse_cols(pb, ot[0], ot[1], ot[2], dt_[0], dt_[1], dt_[2],
                               t_max, any_hit=any_hit, interpret=interpret,
                               with_iters=with_iters, rows=rows, pops=pops,
-                              anyhit_mask=anyhit_mask,
+                              anyhit_mask=anyhit_mask, use4=use4,
                               dbg_skip_leaf=dbg_skip_leaf)
     N = o.shape[0]
     BLK = rows * LANES
