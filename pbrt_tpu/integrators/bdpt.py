@@ -37,6 +37,8 @@ from pbrt_tpu.samplers import sample_dim, sample_2d
 from pbrt_tpu.materials import compute_lobes
 from pbrt_tpu.materials import bsdf as B
 from pbrt_tpu import lights as LT
+from pbrt_tpu import media as MD
+from pbrt_tpu.samplers.hashing import hash4, U32
 from pbrt_tpu.scene.intersect import intersect, intersect_p
 from pbrt_tpu.integrators.common import camera_rays
 from pbrt_tpu.film import FilmState, add_samples, add_splats, develop
@@ -64,6 +66,13 @@ class VertexSoA(NamedTuple):
     material: jnp.ndarray   # [N,D]
     light: jnp.ndarray      # [N,D] area light id at the vertex (-1)
     mat_umix: jnp.ndarray   # [N,D] mix-material random (replay lobes)
+    # media (bdpt/mod.rs random_walk :611-633, vertex.rs :96-101): a
+    # medium-scattered vertex stores is_med=True with zeroed frames (the
+    # zero normal makes every cosine factor collapse to 1 — see
+    # _convert_density / _cos_or_one); `medium` is the ambient medium id
+    # AT the vertex (surface or medium), used for connection Tr.
+    is_med: jnp.ndarray = None     # [N,D] bool
+    medium: jnp.ndarray = None     # [N,D] i32
 
 
 def _lobes_at(cs, v: VertexSoA, k):
@@ -78,21 +87,39 @@ def _f_at(cs, v: VertexSoA, k, wo_w, wi_w):
     wo_l = jnp.stack([dot(wo_w, v.ss[:, k]), dot(wo_w, v.ts[:, k]), dot(wo_w, v.ns[:, k])], -1)
     wi_l = jnp.stack([dot(wi_w, v.ss[:, k]), dot(wi_w, v.ts[:, k]), dot(wi_w, v.ns[:, k])], -1)
     ftab = cs.data.fourier if cs.flags.has_fourier else None
-    return B.bsdf_f(lobes, wo_l, wi_l, ftab), B.bsdf_pdf(lobes, wo_l, wi_l, ftab), \
-        B.bsdf_pdf(lobes, wi_l, wo_l, ftab)
+    f = B.bsdf_f(lobes, wo_l, wi_l, ftab)
+    pf = B.bsdf_pdf(lobes, wo_l, wi_l, ftab)
+    pr = B.bsdf_pdf(lobes, wi_l, wo_l, ftab)
+    if cs.flags.n_media > 0:
+        # medium vertex: f == pdf == the HG phase (vertex.rs Vertex::f for
+        # VertexType::Medium; HG is symmetric so fwd == rev)
+        is_m = v.is_med[:, k]
+        g = cs.data.media.params[jnp.maximum(v.medium[:, k], 0)][:, 0]
+        ph = MD.hg_p(dot(wo_w, wi_w), g)
+        f = jnp.where(is_m[:, None], ph[:, None], f)
+        pf = jnp.where(is_m, ph, pf)
+        pr = jnp.where(is_m, ph, pr)
+    return f, pf, pr
 
 
 def _convert_density(pdf_sa, from_p, to_p, to_ng):
     """Solid-angle pdf at from -> area density at to (vertex.rs
-    convert_density)."""
+    convert_density). Medium vertices store a ZERO normal and get the
+    reference's cosine-free conversion."""
     w = to_p - from_p
     d2 = jnp.maximum(vm.length_squared(w), 1e-12)
     wn = w * jax.lax.rsqrt(d2)[..., None]
-    return pdf_sa * vm.absdot(to_ng, wn) / d2
+    return pdf_sa * _cos_or_one(to_ng, wn) / d2
+
+
+def _cos_or_one(nvec, w):
+    """|cos| against a surface normal; 1 for the zero normal a medium
+    vertex stores (no geometric cosine at a volume scatter point)."""
+    return jnp.where(vm.length_squared(nvec) > 0.0, vm.absdot(nvec, w), 1.0)
 
 
 def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode,
-          sampler_fn=None):
+          sampler_fn=None, time=None):
     """Random walk storing a VertexSoA of up to max_depth vertices.
 
     mode: "camera" | "light" (radiance vs importance transport; the only
@@ -119,7 +146,14 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode,
                   zeros((n, D, 3)), zeros((n, D, 3)), zeros((n, D, 3)),
                   zeros((n, D, 2)), zeros((n, D, 3)), zeros((n, D)),
                   zeros((n, D)), zeros((n, D), bool), zeros((n, D), jnp.int32) - 1,
-                  zeros((n, D), jnp.int32) - 1, zeros((n, D)))
+                  zeros((n, D), jnp.int32) - 1, zeros((n, D)),
+                  zeros((n, D), bool), zeros((n, D), jnp.int32) - 1)
+
+    # ambient medium per lane: both subpaths start in the camera medium
+    # (the reference threads each endpoint's medium interface; scenes whose
+    # lights sit inside a different medium diverge — documented scope cut)
+    cur_med = jnp.broadcast_to(jnp.asarray(data.camera_medium, jnp.int32), (n,))
+    pxu, pyu, su = px.astype(U32), py.astype(U32), sidx.astype(U32)
 
     beta = beta0
     active = jnp.ones((n,), bool) & ~B.black(beta0)
@@ -141,9 +175,24 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode,
     for k in range(D):
         base = dim_base + 8 * k
         dn = normalize(d)
-        si = intersect(data, flags, o, dn, jnp.full((n,), vm.INF))
-        hit = active & si.valid
-        esc_new = active & ~si.valid & ~esc_valid
+        si = intersect(data, flags, o, dn, jnp.full((n,), vm.INF), time=time)
+        if flags.n_media > 0:
+            # sample a medium interaction on the segment (random_walk
+            # :611-633). Grid-media tracking draws from the pixel-keyed
+            # hash stream; homogeneous media use sampler dims base+1,2 so
+            # MLT's primary-sample-space replay stays exact.
+            ka = hash4(pxu, pyu, su, U32(0xBD10 + 2 * k))
+            kb = hash4(pxu, pyu, su, U32(0xBD11 + 2 * k))
+            u_med = dim2(base + 1)
+            t_seg = jnp.where(si.valid, si.t, jnp.full((n,), vm.INF))
+            ms = MD.sample_medium(data.media, cur_med, o, dn, t_seg, ka, kb,
+                                  u_med, any_grid=flags.any_grid_media)
+            in_med = active & ms.sampled_medium
+            beta = jnp.where(active[:, None], beta * ms.weight, beta)
+        else:
+            in_med = jnp.zeros((n,), bool)
+        hit = active & si.valid & ~in_med
+        esc_new = active & ~si.valid & ~in_med & ~esc_valid
         esc_beta = jnp.where(esc_new[:, None], beta, esc_beta)
         esc_dir = jnp.where(esc_new[:, None], dn, esc_dir)
         esc_pdf_sa = jnp.where(esc_new, pdf_fwd_sa, esc_pdf_sa)
@@ -152,19 +201,31 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode,
         esc_valid = esc_valid | esc_new
         u_mix = dim1(base + 0)
 
-        pdf_fwd_area = _convert_density(pdf_fwd_sa, prev_p, si.p, si.ng)
+        stored = hit | in_med
+        if flags.n_media > 0:
+            vp = jnp.where(in_med[:, None], ms.p, si.p)
+            zf = jnp.zeros((n, 3), jnp.float32)
+            vng = jnp.where(in_med[:, None], zf, si.ng)
+            vns = jnp.where(in_med[:, None], zf, si.ns)
+            vss = jnp.where(in_med[:, None], zf, si.ss)
+            vts = jnp.where(in_med[:, None], zf, si.ts)
+        else:
+            vp, vng, vns, vss, vts = si.p, si.ng, si.ns, si.ss, si.ts
+        pdf_fwd_area = _convert_density(pdf_fwd_sa, prev_p, vp, vng)
         v = v._replace(
-            vtype=v.vtype.at[:, k].set(jnp.where(hit, 3, 0)),
-            p=v.p.at[:, k].set(si.p), ng=v.ng.at[:, k].set(si.ng),
-            ns=v.ns.at[:, k].set(si.ns), ss=v.ss.at[:, k].set(si.ss),
-            ts=v.ts.at[:, k].set(si.ts), uv=v.uv.at[:, k].set(si.uv),
-            beta=v.beta.at[:, k].set(jnp.where(hit[:, None], beta, 0.0)),
-            pdf_fwd=v.pdf_fwd.at[:, k].set(jnp.where(hit, pdf_fwd_area, 0.0)),
-            delta=v.delta.at[:, k].set(prev_delta & hit),
+            vtype=v.vtype.at[:, k].set(jnp.where(stored, 3, 0)),
+            p=v.p.at[:, k].set(vp), ng=v.ng.at[:, k].set(vng),
+            ns=v.ns.at[:, k].set(vns), ss=v.ss.at[:, k].set(vss),
+            ts=v.ts.at[:, k].set(vts), uv=v.uv.at[:, k].set(si.uv),
+            beta=v.beta.at[:, k].set(jnp.where(stored[:, None], beta, 0.0)),
+            pdf_fwd=v.pdf_fwd.at[:, k].set(jnp.where(stored, pdf_fwd_area, 0.0)),
+            delta=v.delta.at[:, k].set(prev_delta & stored),
             material=v.material.at[:, k].set(jnp.where(hit, si.material, -1)),
             light=v.light.at[:, k].set(jnp.where(hit, si.area_light, -1)),
-            mat_umix=v.mat_umix.at[:, k].set(u_mix))
-        active = hit
+            mat_umix=v.mat_umix.at[:, k].set(u_mix),
+            is_med=v.is_med.at[:, k].set(in_med),
+            medium=v.medium.at[:, k].set(jnp.where(stored, cur_med, -1)))
+        active = stored
         if k == D - 1:
             break
 
@@ -176,26 +237,48 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode,
         bs = B.bsdf_sample(lobes, wo_local, u_lobe, u_dir, data.fourier if flags.has_fourier else None)
         wi_world = si.local_to_world(bs.wi)
         cos_w = vm.absdot(wi_world, si.ns)
-        ok = active & (bs.pdf > 0) & ~B.black(bs.f)
+        ok_surf = (bs.pdf > 0) & ~B.black(bs.f)
         correction = 1.0
         if mode == "light":
             # shading-normal correction for importance transport
             num = vm.absdot(si.wo, si.ns) * vm.absdot(wi_world, si.ng)
             den = jnp.maximum(vm.absdot(si.wo, si.ng) * vm.absdot(wi_world, si.ns), 1e-9)
             correction = num / den
-        beta = jnp.where(ok[:, None],
-                         beta * bs.f * (cos_w * correction
-                                        / jnp.maximum(bs.pdf, 1e-12))[:, None], beta)
-        # reverse pdf at this vertex (density of sampling backwards)
+        bmul_surf = bs.f * (cos_w * correction
+                            / jnp.maximum(bs.pdf, 1e-12))[:, None]
         wi_l2 = si.world_to_local(wi_world)
-        pdf_rev_sa = B.bsdf_pdf(lobes, wi_l2, wo_local, data.fourier if flags.has_fourier else None)
+        pdf_rev_surf = B.bsdf_pdf(lobes, wi_l2, wo_local, data.fourier if flags.has_fourier else None)
+        if flags.n_media > 0:
+            # medium lanes scatter by Henyey-Greenstein: f/pdf == 1, HG is
+            # symmetric so the reverse pdf equals the forward one
+            g_cur = data.media.params[jnp.maximum(cur_med, 0)][:, 0]
+            wi_med, p_med = MD.hg_sample(-dn, g_cur, u_dir)
+            wi_world = jnp.where(in_med[:, None], wi_med, wi_world)
+            ok = active & jnp.where(in_med, p_med > 0, ok_surf)
+            beta = jnp.where((ok & ~in_med)[:, None], beta * bmul_surf, beta)
+            pdf_rev_sa = jnp.where(in_med, p_med, pdf_rev_surf)
+            prev_delta = jnp.where(in_med, False, bs.is_specular)
+            pdf_fwd_sa = jnp.where(in_med, p_med,
+                                   jnp.where(bs.is_specular, 0.0, bs.pdf))
+            # crossing a transmissive boundary swaps the ambient medium
+            pm = data.prim_medium[jnp.maximum(si.prim, 0)]
+            entering = dot(wi_world, si.ng) < 0.0
+            crossed = hit & bs.is_transmission & ok
+            cur_med = jnp.where(crossed,
+                                jnp.where(entering, pm[:, 0], pm[:, 1]),
+                                cur_med)
+            o = jnp.where(in_med[:, None], vp, si.spawn_origin(wi_world))
+        else:
+            ok = active & ok_surf
+            beta = jnp.where(ok[:, None], beta * bmul_surf, beta)
+            pdf_rev_sa = pdf_rev_surf
+            prev_delta = bs.is_specular
+            pdf_fwd_sa = jnp.where(bs.is_specular, 0.0, bs.pdf)
+            o = si.spawn_origin(wi_world)
         v = v._replace(pdf_rev=v.pdf_rev.at[:, k].set(
             jnp.where(ok, pdf_rev_sa, 0.0)))
-        prev_delta = bs.is_specular
-        pdf_fwd_sa = jnp.where(bs.is_specular, 0.0, bs.pdf)
-        prev_p = si.p
+        prev_p = vp if flags.n_media > 0 else si.p
         active = ok
-        o = si.spawn_origin(wi_world)
         d = wi_world
 
     esc = dict(valid=esc_valid, beta=esc_beta, dir=esc_dir,
@@ -316,10 +399,17 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
         rays, ray_w = generate_rays(cs.camera,
                                     CameraSamples(p_film, u_lens, u_time))
     cam_o = rays.o
+    # animated instances: evaluate every subpath/connection intersect at the
+    # camera sample's time (r3 advisor: bdpt/mlt/sppm traced at t=0)
+    if flags.n_instances > 0:
+        time = (sampler_fn(4) if sampler_fn is not None
+                else sample_dim(spec, px, py, sidx, 4))
+    else:
+        time = None
     pdf_cam_dir = camera_pdf_we_dir(cs, cam_o, cam_o + normalize(rays.d))
     cam_v, cam_esc = _walk(cs, rays.o, normalize(rays.d), jnp.ones((n, 3)),
                            pdf_cam_dir, D, px, py, sidx, CAM_BASE, "camera",
-                           sampler_fn=sampler_fn)
+                           sampler_fn=sampler_fn, time=time)
 
     if sampler_fn is None:
         dim1 = lambda dim: sample_dim(spec, px, py, sidx, dim)
@@ -340,7 +430,8 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
     beta_l0 = le.le * (vm.absdot(le.n_light, normalize(le.d))
                        / jnp.maximum(pdf0 * le.pdf_dir, 1e-12))[:, None]
     light_v, _ = _walk(cs, le.o, normalize(le.d), beta_l0, le.pdf_dir, D - 1,
-                       px, py, sidx, lbase + 5, "light", sampler_fn=sampler_fn)
+                       px, py, sidx, lbase + 5, "light", sampler_fn=sampler_fn,
+                       time=time)
 
     n_cam = _length(cam_v)
     n_light = _length(light_v)
@@ -399,9 +490,10 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
                           data.world_center, data.world_radius)
         f_c, pdf_c_fwd, pdf_c_rev = _f_at(cs, cam_v, kt,
                                           _wo_of(cam_v, cam_o, kt), ls.wi)
-        g_cos = vm.absdot(ls.wi, cam_v.ns[:, kt])
-        contrib1 = cam_v.beta[:, kt] * f_c * ls.li * (g_cos / jnp.maximum(ls.pdf * pmf1, 1e-12))[:, None]
-        occ = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt], ls.p_light, ls.wi)
+        g_cos = _cos_or_one(cam_v.ns[:, kt], ls.wi)
+        occ, tr1 = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt], ls.p_light,
+                             ls.wi, medium=cam_v.medium[:, kt], time=time)
+        contrib1 = cam_v.beta[:, kt] * f_c * ls.li * tr1 * (g_cos / jnp.maximum(ls.pdf * pmf1, 1e-12))[:, None]
         ok1 = cam_ok & (ls.pdf > 0) & ~B.black(contrib1) & ~occ & st_mask(1, t, n)
         w1 = _mis_weight_s1(cs, cam_v, kt, ls, li1, cam_o, pdf_c_fwd, pdf_c_rev)
         if "s1" in strategies and keep(1, t):
@@ -418,10 +510,11 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
             wi = d_c2l * jax.lax.rsqrt(dist2)[:, None]
             f_cam, pc_f, pc_r = _f_at(cs, cam_v, kt, _wo_of(cam_v, cam_o, kt), wi)
             f_li, pl_f, pl_r = _f_at(cs, light_v, ks, _wo_of(light_v, None, ks, le.o), -wi)
-            G = vm.absdot(wi, cam_v.ns[:, kt]) * vm.absdot(wi, light_v.ns[:, ks]) / dist2
-            contrib = cam_v.beta[:, kt] * f_cam * f_li * light_v.beta[:, ks] * G[:, None]
-            occ2 = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt],
-                             light_v.p[:, ks], wi)
+            G = _cos_or_one(cam_v.ns[:, kt], wi) * _cos_or_one(light_v.ns[:, ks], wi) / dist2
+            occ2, tr2 = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt],
+                                  light_v.p[:, ks], wi,
+                                  medium=cam_v.medium[:, kt], time=time)
+            contrib = cam_v.beta[:, kt] * f_cam * f_li * light_v.beta[:, ks] * tr2 * G[:, None]
             ok2 = cam_ok & l_ok & ~B.black(contrib) & ~occ2 & st_mask(s, t, n)
             w2 = _mis_weight_general(cs, cam_v, light_v, kt, ks, light_idx,
                                      le, pc_f, pc_r, pl_f, pl_r)
@@ -445,9 +538,10 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
                                  @ jnp.array([0.0, 0, 1.0]))
             cos_cam = jnp.maximum(dot(-wi, cam_dirv), 1e-6)
             beta_cam = imp * cos_cam / dist2
-            G_l = vm.absdot(wi, light_v.ns[:, ks])
-            contrib = light_v.beta[:, ks] * f_l * (beta_cam * G_l)[:, None]
-            occ3 = _occluded(cs, p_v, light_v.ng[:, ks], cam_o, wi)
+            G_l = _cos_or_one(light_v.ns[:, ks], wi)
+            occ3, tr3 = _occluded(cs, p_v, light_v.ng[:, ks], cam_o, wi,
+                                  medium=light_v.medium[:, ks], time=time)
+            contrib = light_v.beta[:, ks] * f_l * tr3 * (beta_cam * G_l)[:, None]
             okc = ok & on_film & ~B.black(contrib) & ~occ3 & st_mask(s, 1, n)
             we_dir = camera_pdf_we_dir(cs, cam_o, p_v)
             wmis = _mis_weight_t1(cs, light_v, ks, light_idx, le, we_dir,
@@ -480,12 +574,23 @@ def _wo_of(v: VertexSoA, origin, k, origin0=None):
     return normalize(prev - v.p[:, k])
 
 
-def _occluded(cs, p_from, ng_from, p_to, w):
+def _occluded(cs, p_from, ng_from, p_to, w, medium=None, time=None):
+    """(occluded [N] bool, tr [N,3]) for a connection segment. tr is the
+    transmittance through the from-vertex's ambient medium (scene.rs
+    intersect_tr on connections; single-segment scope — null-interface
+    crossings on connection rays are not walked here)."""
     o = vm.offset_ray_origin(p_from, jnp.full_like(p_from, 1e-4), ng_from, w)
     to = p_to - o
     dist = vm.length(to)
     sd = to / jnp.maximum(dist, 1e-12)[:, None]
-    return intersect_p(cs.data, cs.flags, o, sd, dist * (1 - 1e-3))
+    occ = intersect_p(cs.data, cs.flags, o, sd, dist * (1 - 1e-3), time=time)
+    if medium is not None and cs.flags.n_media > 0:
+        zk = jnp.zeros(o.shape[:1], U32)
+        tr = MD.transmittance(cs.data.media, medium, o, sd, dist,
+                              zk, zk + 1, any_grid=cs.flags.any_grid_media)
+    else:
+        tr = jnp.ones(o.shape[:1] + (3,), jnp.float32)
+    return occ, tr
 
 
 def _camera_importance(cs, cam_o, p):

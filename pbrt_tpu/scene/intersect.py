@@ -489,7 +489,7 @@ def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id,
         area_light=area_light, dudx=z, dvdx=z, dudy=z, dvdy=z)
 
 
-def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max):
+def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max, time=None):
     """Any-hit (shadow rays). Returns [N] bool occluded."""
     occluded = jnp.zeros(o.shape[:1], bool)
     if flags.n_tris > 0:
@@ -521,6 +521,7 @@ def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max):
         from pbrt_tpu.accel.pallas_instance import intersect_instances
         thi, _ = intersect_instances(scene.ibvh, o, d,
                                      jnp.asarray(t_max, jnp.float32),
+                                     time=time,
                                      interpret=not flags.use_pallas)
         occluded = occluded | (thi.tri >= 0)
     if flags.n_quadrics > 0:
