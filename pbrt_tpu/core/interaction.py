@@ -104,6 +104,69 @@ def compute_differentials(si: SurfaceInteraction, rays) -> SurfaceInteraction:
                        dudy=clampf(dudy), dvdy=clampf(dvdy))
 
 
+def specular_diff_rays(si, rays, wi, is_specular, is_transmission, eta):
+    """Propagate camera ray differentials through a specular bounce.
+
+    Reference: core/src/integrator/sampler_integrator.rs:312-415
+    (specular_reflect / specular_transmit). Flat-normal approximation:
+    dndx = dndy = 0 — the curvature terms need dndu/dndv which the SoA
+    does not store; for the dominant flat mirror/glass case they are
+    exactly zero. Non-specular lanes get zeroed auxiliary directions,
+    which compute_differentials treats as degenerate (-> mip level 0),
+    matching the reference's path behavior of dropping differentials on
+    non-specular scatters.
+
+    Returns a Rays pytree whose (rx_o, rx_d, ry_o, ry_d) describe the
+    scattered ray's differentials.
+    """
+    from pbrt_tpu.core.ray import Rays
+    if rays.rx_o is None:
+        return rays
+    n, p, wo = si.ns, si.p, si.wo
+    d_plane = dot(si.ng, p)
+
+    def plane_hit(o, d):
+        denom = dot(si.ng, d)
+        tt = (d_plane - dot(si.ng, o)) / jnp.where(jnp.abs(denom) < 1e-9,
+                                                   1e-9, denom)
+        return o + tt[:, None] * d
+
+    px = plane_hit(rays.rx_o, rays.rx_d)
+    py = plane_hit(rays.ry_o, rays.ry_d)
+
+    # reflect: rd = wi - dwodx + 2 (wo.n dndx + dDNdx n), dndx = 0
+    dwodx = -rays.rx_d - wo
+    dwody = -rays.ry_d - wo
+    dDNdx = dot(dwodx, n)
+    dDNdy = dot(dwody, n)
+    rx_refl = wi - dwodx + 2.0 * dDNdx[:, None] * n
+    ry_refl = wi - dwody + 2.0 * dDNdy[:, None] * n
+
+    # transmit (sampler_integrator.rs:369-415): flip to the incident side
+    ent = dot(wo, n) >= 0.0
+    nf = jnp.where(ent[:, None], n, -n)
+    etaf = jnp.where(ent, 1.0 / jnp.maximum(eta, 1e-6), eta)
+    # pbrt convention: eta here is etaI/etaT for the refracted direction
+    w_neg = -wo
+    mu = etaf * dot(w_neg, nf) - dot(wi, nf)
+    wiN = jnp.where(jnp.abs(dot(wi, nf)) < 1e-6, 1e-6, dot(wi, nf))
+    dmudx = (etaf - (etaf * etaf * dot(w_neg, nf)) / wiN) * dDNdx
+    dmudy = (etaf - (etaf * etaf * dot(w_neg, nf)) / wiN) * dDNdy
+    rx_tran = wi + etaf[:, None] * dwodx - dmudx[:, None] * nf
+    ry_tran = wi + etaf[:, None] * dwody - dmudy[:, None] * nf
+
+    tm = is_transmission[:, None]
+    rx_d = jnp.where(tm, rx_tran, rx_refl)
+    ry_d = jnp.where(tm, ry_tran, ry_refl)
+    keep = (is_specular & si.valid)[:, None]
+    zero = jnp.zeros_like(wi)
+    return Rays(p, wi, rays.t_max, rays.time,
+                rx_o=jnp.where(keep, px, p),
+                rx_d=jnp.where(keep, rx_d, zero),
+                ry_o=jnp.where(keep, py, p),
+                ry_d=jnp.where(keep, ry_d, zero))
+
+
 def make_frame(si_ns, dpdu):
     """Orthonormal shading frame from ns + dpdu (bsdf.rs constructor)."""
     ss = normalize(dpdu - si_ns * dot(si_ns, dpdu)[..., None])

@@ -21,7 +21,8 @@ from pbrt_tpu.materials import compute_lobes
 from pbrt_tpu.materials import bsdf as B
 from pbrt_tpu import lights as LT
 from pbrt_tpu.scene.intersect import intersect, intersect_pair
-from pbrt_tpu.core.interaction import compute_differentials
+from pbrt_tpu.core.interaction import (compute_differentials,
+                                       specular_diff_rays)
 from pbrt_tpu.integrators.common import (bounce_base, camera_rays,
                                          prepare_one_light, light_pdf_for_dir,
                                          infinite_pdf_for_dir)
@@ -102,6 +103,7 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
     # camera-ray closest hit; per bounce thereafter the next-ray closest hit
     # and the NEE shadow occlusion ride ONE merged traversal (intersect_pair)
     si = intersect(data, flags, o, normalize(d), t_max, time=ray_time)
+    diff_rays = rays
 
     for bounce in range(max_depth + 1):
         base = bounce_base(bounce)
@@ -135,11 +137,13 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
                              beta * sp / jnp.maximum(pdf_sp, 1e-12)[:, None], beta)
             active = active & (~sss_pending | good)
             sss_here = good   # lanes shading an exit point this bounce
-        if bounce == 0:
-            # camera-ray differentials -> uv screen derivatives for texture
-            # mip filtering (surface_interaction.rs:203); deeper bounces use
-            # level-0 lookups like the reference's non-specular paths
-            si = compute_differentials(si, rays)
+        # ray differentials -> uv screen derivatives for texture mip
+        # filtering (surface_interaction.rs:203). diff_rays carries the
+        # camera differentials through SPECULAR chains
+        # (sampler_integrator.rs:312-415); non-specular scatters zero the
+        # auxiliary directions so deeper diffuse bounces fall back to
+        # level 0 exactly like the reference's paths
+        si = compute_differentials(si, diff_rays)
 
         # ---- emitted radiance (hit emitters / escaped to infinite) ----
         if flags.has_infinite:
@@ -175,8 +179,7 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         # ---- material stage ----
         u_mix = sample_dim_(base + 0)
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
-                              u_mix, flags.has_tex_slot,
-                              duv=si.duv if bounce == 0 else None)
+                              u_mix, flags.has_tex_slot, duv=si.duv)
         if flags.has_subsurface:
             # exit points shade with the Sw adapter (SeparableBSSRDFAdapter,
             # tabulated_bssrdf.rs): hemispherically-averaged lambertian
@@ -214,6 +217,9 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
                          beta)
         active = ok
         specular_bounce = bs.is_specular
+        diff_rays = specular_diff_rays(si, diff_rays, wi_world,
+                                       bs.is_specular & ok,
+                                       bs.is_transmission, lobes.eta)
         prev_bsdf_pdf = bs.pdf
         eta_scale = eta_scale * bs.eta_scale
         prev_p = si.p
