@@ -175,34 +175,60 @@ def sample_atlas_trilinear(tex, tid, st, width):
 
 
 def sample_atlas_aniso(tex, tid, st, dst0, dst1):
-    """Anisotropic lookup (EWA re-design, mipmap/mod.rs:252): N_EWA_PROBES
-    Gaussian-weighted bilinear probes along the major axis at the level where
-    the minor axis spans ~1 texel; eccentricity clamped to MAX_ANISOTROPY."""
+    """True EWA anisotropic lookup (mipmap/mod.rs:252-380), bounded form.
+
+    The EWA footprint is the image of the unit disk under (dst0, dst1):
+    p(s, t) = st + s*dst0 + t*dst1 with the reference's Gaussian
+    exp(-2 r^2) in canonical (s, t) coordinates. Instead of the
+    reference's data-dependent per-texel bounding-box walk (hostile to a
+    static TPU graph), the integral is quadratured on a FIXED 5x3 lattice
+    inside the unit disk — exact ellipse geometry (axes, eccentricity
+    clamp to MAX_ANISOTROPY by scaling the minor axis up, level from the
+    minor-axis width) with a bounded probe count, and the reference's
+    two-level lerp (each tap is trilinear between floor/ceil levels)."""
     img = jnp.maximum(tex.image_id[tid], 0)
     n_levels = tex.atlas_levels[img].astype(jnp.float32)
     len0 = jnp.sqrt(jnp.sum(dst0 * dst0, -1))
     len1 = jnp.sqrt(jnp.sum(dst1 * dst1, -1))
     swap = len1 > len0
-    major = jnp.where(swap[:, None], dst1, dst0)
+    maj_v = jnp.where(swap[:, None], dst1, dst0)
+    min_v = jnp.where(swap[:, None], dst0, dst1)
     major_len = jnp.where(swap, len1, len0)
     minor_len = jnp.where(swap, len0, len1)
-    # clamp eccentricity (mipmap/mod.rs EWA max anisotropy)
+    # eccentricity clamp: scale the minor AXIS VECTOR up so that
+    # major/minor <= MAX_ANISOTROPY (mipmap/mod.rs lookup_ewa entry)
     too_thin = (minor_len * MAX_ANISOTROPY < major_len) & (minor_len > 0)
-    scale = jnp.where(too_thin, major_len / jnp.maximum(minor_len * MAX_ANISOTROPY, 1e-12), 1.0)
+    scale = jnp.where(too_thin,
+                      major_len / jnp.maximum(minor_len * MAX_ANISOTROPY,
+                                              1e-12), 1.0)
+    min_v = min_v * scale[:, None]
     minor_len = minor_len * scale
-    # degenerate differentials -> plain trilinear on the major width
     degenerate = minor_len < 1e-8
 
+    # level where the (clamped) minor axis spans ~one texel; two-level lerp
     lvl_f = n_levels - 1.0 + jnp.log2(jnp.maximum(minor_len, 1e-8))
     lvl_f = jnp.clip(lvl_f, 0.0, n_levels - 1.0)
     l0 = jnp.floor(lvl_f).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, (n_levels - 1.0).astype(jnp.int32))
+    fr = (lvl_f - l0.astype(jnp.float32))[:, None]
 
-    # probes at st + major * u, u in [-0.5, 0.5], Gaussian weights
-    us = np.linspace(-0.5, 0.5, N_EWA_PROBES).astype(np.float32)
-    ws = np.exp(-2.0 * (us * 2.0) ** 2).astype(np.float32)
-    ws /= ws.sum()
+    # fixed quadrature of the EWA integral: lattice in the unit disk,
+    # Gaussian alpha = exp(-2 r^2) (same falloff table the reference bakes)
+    ss_ = np.linspace(-0.8, 0.8, 5).astype(np.float32)
+    ts_ = np.array([-0.6, 0.0, 0.6], np.float32)
+    pts, wts = [], []
+    for s_ in ss_:
+        for t_ in ts_:
+            r2 = s_ * s_ + t_ * t_
+            if r2 <= 1.0:
+                pts.append((s_, t_))
+                wts.append(np.exp(-2.0 * r2))
+    wsum = float(np.sum(wts))
     acc = jnp.zeros((tid.shape[0], 3), jnp.float32)
-    for u, w in zip(us, ws):
-        acc = acc + w * _bilinear_at_level(tex, img, st + major * u, l0)
+    for (s_, t_), w_ in zip(pts, wts):
+        p_st = st + maj_v * s_ + min_v * t_
+        c = _bilinear_at_level(tex, img, p_st, l0) * (1.0 - fr) \
+            + _bilinear_at_level(tex, img, p_st, l1) * fr
+        acc = acc + (w_ / wsum) * c
     tri = sample_atlas_trilinear(tex, tid, st, jnp.maximum(major_len, minor_len))
     return jnp.where(degenerate[:, None], tri, acc)

@@ -159,3 +159,23 @@ WorldEnd
     # sampling gives binary noise with std ~0.2 at 4 spp
     assert mid.std() < 0.08, f"reflected checker not filtered: std={mid.std():.3f}"
     assert 0.25 < mid.mean() < 0.75
+
+
+def test_ewa_preserves_detail_across_minor_axis():
+    """True-EWA property (mipmap/mod.rs:252-380): a footprint elongated
+    along s must average ACROSS s while keeping t-varying stripes sharp;
+    isotropic trilinear at the major width destroys them."""
+    im = ((np.indices((128, 128))[0] // 16) % 2).astype(np.float32)  # t-stripes
+    im = np.stack([im] * 3, -1)
+    tt = _table([im])
+    # probe two points: middle of a white stripe and middle of a black one
+    st = jnp.asarray([[0.5, 0.1875], [0.5, 0.3125]], jnp.float32)
+    tid = jnp.zeros(2, jnp.int32)
+    dst0 = jnp.tile(jnp.asarray([[0.4, 0.0]], jnp.float32), (2, 1))   # major: s
+    dst1 = jnp.tile(jnp.asarray([[0.0, 0.004]], jnp.float32), (2, 1))  # minor: t
+    a = np.asarray(sample_atlas_aniso(tt, tid, st, dst0, dst1))[:, 0]
+    contrast_ewa = abs(a[0] - a[1])
+    tri = np.asarray(sample_atlas_trilinear(tt, tid, st, jnp.full(2, 0.4)))[:, 0]
+    contrast_tri = abs(tri[0] - tri[1])
+    assert contrast_ewa > 0.5, f"EWA lost stripe contrast: {a}"
+    assert contrast_tri < 0.2, f"trilinear control should blur: {tri}"
