@@ -19,10 +19,13 @@ pallas_traverse._kernel_block_all):
     rays — no scratch ray banks and exactly one nesting level, which is
     all the reference supports (instances cannot contain instances);
   * the per-instance transform is evaluated PER LANE at the lane's ray
-    time: M(t) = M0 + clamp(t) * (M1 - M0), a linear matrix lerp of the
-    two keyframe matrices read as SMEM scalars (the reference decomposes
-    and slerps, animated_transform.rs — linear lerp is exact for static
-    instances and a small-rotation approximation for animated ones);
+    time. Static scenes use the matrix lerp M(t) = M0 + t*(M1 - M0)
+    (exact, zero extra cost); scenes with any animated instance compile
+    the TRS path instead (static `trs` flag): pack-time polar
+    decomposition of both w2p keyframes (animated_transform.rs
+    decompose) and in-kernel quaternion SLERP + lerped T/S, with
+    motion-SAMPLED top-level AABBs (17 times + step pad) standing in for
+    the reference's exact BoundPointMotion (animated_transform.rs:1203);
   * hits record the instance id; the triangle id maps through `order`
     into the GLOBAL triangle tables, so downstream shading reuses the
     standard uv/prim/material gathers and only the geometric frame needs
@@ -49,7 +52,66 @@ ROWS = 8
 LANES = 128
 STACKI = 160
 RESTORE = -2          # stack sentinel: leave the current instance
-IMAT_STRIDE = 24      # per-instance SMEM floats: w2p0[12], (w2p1-w2p0)[12]
+IMAT_STRIDE = 56      # per-instance SMEM floats: w2p0[12], (w2p1-w2p0)[12],
+                      # then the TRS decomposition of both w2p keyframes:
+                      # T0[3] T1[3] q0[4] q1[4] S0[9] S1[9]
+                      # (animated_transform.rs decompose: M = T R S with R
+                      # from iterative polar decomposition, S = R^-1 M)
+
+
+def _decompose_trs(m):
+    """4x4 affine -> (T[3], q[4] xyzw, S[3,3]) per animated_transform.rs
+    decompose (polar iteration, then S = R^-1 M)."""
+    T = np.asarray(m, np.float64)[:3, 3].copy()
+    M3 = np.asarray(m, np.float64)[:3, :3].copy()
+    R = M3.copy()
+    for _ in range(100):
+        Rn = 0.5 * (R + np.linalg.inv(R.T))
+        if np.abs(Rn - R).max() < 1e-9:
+            R = Rn
+            break
+        R = Rn
+    S = np.linalg.inv(R) @ M3
+    # rotation matrix -> quaternion (w last)
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array([(R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                      (R[1, 0] - R[0, 1]) / s, 0.25 * s])
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1.0 + R[i, i] - R[j, j] - R[k, k], 1e-12)) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        q[3] = (R[k, j] - R[j, k]) / s
+    q = q / np.linalg.norm(q)
+    return T, q, S
+
+
+def _slerp_trs_host(d0, d1, t):
+    """Host mirror of the kernel's TRS interpolation (motion bounds)."""
+    T0, q0, S0 = d0
+    T1, q1, S1 = d1
+    if np.dot(q0, q1) < 0:
+        q1 = -q1
+    d = np.clip(np.dot(q0, q1), -1.0, 1.0)
+    th = np.arccos(d)
+    if np.sin(th) < 1e-4:
+        q = (1 - t) * q0 + t * q1
+    else:
+        q = (np.sin((1 - t) * th) * q0 + np.sin(t * th) * q1) / np.sin(th)
+    q = q / np.linalg.norm(q)
+    x, y, z, w = q
+    R = np.array([[1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                  [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                  [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)]])
+    m = np.eye(4)
+    m[:3, :3] = R @ (S0 + t * (S1 - S0))
+    m[:3, 3] = T0 + t * (T1 - T0)
+    return m
 
 
 class InstanceBVH(NamedTuple):
@@ -114,6 +176,27 @@ def pack_instance_world(proto_tri_bounds, proto_tri_global,
         l1, h1 = _aabb_transform(blo, bhi, inst["m_p2w1"])
         ilo[i] = np.minimum(l0, l1)
         ihi[i] = np.maximum(h0, h1)
+        if inst.get("animated"):
+            # motion-expanded bounds (animated_transform.rs:1203
+            # BoundPointMotion): slerped corner paths are curved, so the
+            # keyframe union can under-cover; sample the SAME TRS path the
+            # kernel evaluates and pad by the largest inter-sample step
+            dp0 = _decompose_trs(inst["m_w2p0"])
+            dp1 = _decompose_trs(inst["m_w2p1"])
+            prev = None
+            step = 0.0
+            for tt in np.linspace(0.0, 1.0, 17):
+                # invert the kernel's exact w2p(t) path -> p2w(t)
+                mt = np.linalg.inv(_slerp_trs_host(dp0, dp1, float(tt)))
+                lt, ht = _aabb_transform(blo, bhi, mt)
+                ilo[i] = np.minimum(ilo[i], lt)
+                ihi[i] = np.maximum(ihi[i], ht)
+                c = 0.5 * (lt + ht)
+                if prev is not None:
+                    step = max(step, float(np.abs(c - prev).max()))
+                prev = c
+            ilo[i] -= step
+            ihi[i] += step
     _, top = build_bvh(ilo, ihi, leaf_size=1, with_host=True)
 
     # ---- merge node/meta/tris tables ----
@@ -188,6 +271,17 @@ def pack_instance_world(proto_tri_bounds, proto_tri_global,
         b = np.asarray(inst["m_w2p1"], np.float32)
         imat[i * IMAT_STRIDE:i * IMAT_STRIDE + 12] = a[:3, :].ravel()
         imat[i * IMAT_STRIDE + 12:i * IMAT_STRIDE + 24] = (b - a)[:3, :].ravel()
+        T0, q0, S0 = _decompose_trs(a)
+        T1, q1, S1 = _decompose_trs(b)
+        if np.dot(q0, q1) < 0:
+            q1 = -q1           # sign-align so the kernel's arc is short
+        o6 = i * IMAT_STRIDE
+        imat[o6 + 24:o6 + 27] = T0
+        imat[o6 + 27:o6 + 30] = T1
+        imat[o6 + 30:o6 + 34] = q0
+        imat[o6 + 34:o6 + 38] = q1
+        imat[o6 + 38:o6 + 47] = S0.ravel()
+        imat[o6 + 47:o6 + 56] = S1.ravel()
         i2w[i, 0] = np.asarray(inst["m_p2w0"], np.float32).ravel()
         i2w[i, 1] = np.asarray(inst["m_p2w1"], np.float32).ravel()
         w2p[i, 0] = a.ravel()
@@ -206,17 +300,62 @@ def pack_instance_world(proto_tri_bounds, proto_tri_global,
         ilo.min(0), ihi.max(0)
 
 
+def trs_matrices_at(imat_rows, w):
+    """XLA mirror of the kernel's TRS interpolation for shading frames.
+
+    imat_rows: [N, IMAT_STRIDE] gathered per-lane imat rows; w: [N] clipped
+    time. Returns (w2p [N,4,4], p2w [N,4,4]) — p2w is the affine inverse
+    of the interpolated w2p, matching the reference's invert-after-
+    interpolate (transformed_primitive.rs intersect)."""
+    T0 = imat_rows[:, 24:27]
+    T1 = imat_rows[:, 27:30]
+    q0 = imat_rows[:, 30:34]
+    q1 = imat_rows[:, 34:38]
+    S0 = imat_rows[:, 38:47].reshape(-1, 3, 3)
+    S1 = imat_rows[:, 47:56].reshape(-1, 3, 3)
+    d = jnp.clip(jnp.sum(q0 * q1, -1), -1.0, 1.0)
+    th = jnp.arccos(d)
+    sth = jnp.sin(th)
+    small = sth < 1e-4
+    a = w * th
+    inv_s = 1.0 / jnp.where(small, 1.0, sth)
+    w1 = jnp.where(small, w, jnp.sin(a) * inv_s)
+    w0 = jnp.where(small, 1.0 - w, jnp.sin(th - a) * inv_s)
+    q = w0[:, None] * q0 + w1[:, None] * q1
+    q = q * jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True))
+    x, y, z, qw = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * qw),
+                   2 * (x * z + y * qw)], -1),
+        jnp.stack([2 * (x * y + z * qw), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - x * qw)], -1),
+        jnp.stack([2 * (x * z - y * qw), 2 * (y * z + x * qw),
+                   1 - 2 * (x * x + y * y)], -1)], -2)
+    S = S0 + w[:, None, None] * (S1 - S0)
+    L = jnp.einsum("nij,njk->nik", R, S)
+    T = T0 + w[:, None] * (T1 - T0)
+    n = w.shape[0]
+    w2p = jnp.zeros((n, 4, 4), jnp.float32)
+    w2p = w2p.at[:, :3, :3].set(L).at[:, :3, 3].set(T).at[:, 3, 3].set(1.0)
+    # affine inverse: [L t]^-1 = [L^-1, -L^-1 t]
+    Linv = jnp.linalg.inv(L + 1e-12 * jnp.eye(3))
+    Tinv = -jnp.einsum("nij,nj->ni", Linv, T)
+    p2w = jnp.zeros((n, 4, 4), jnp.float32)
+    p2w = p2w.at[:, :3, :3].set(Linv).at[:, :3, 3].set(Tinv).at[:, 3, 3].set(1.0)
+    return w2p, p2w
+
+
 def _pick(ax_, ay_, az_, k):
     return jnp.where(k == 0, ax_, jnp.where(k == 1, ay_, az_))
 
 
-def _kernel_inst(meta_ref, imat_ref, iroot_ref,
+def _kernel_inst(meta_ref, imat_ref, iroot_ref,  # noqa: C901
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
                  time_ref, nodes_ref, tris_ref,
                  t_out, tri_out, b1_out, b2_out, inst_out, it_out,
                  stack_ref, sp_ref, ts_ref, tris_scr, b1s_ref, b2s_ref,
                  is_ref,
-                 *, rows: int, nblocks: int):
+                 *, rows: int, nblocks: int, trs: bool = False):
     f32 = jnp.float32
     tiny = f32(1e-20)
 
@@ -329,10 +468,51 @@ def _kernel_inst(meta_ref, imat_ref, iroot_ref,
             # ---- instance transform (unconditional data-flow; selected in) -
             iid = jnp.where(enter, payload, 0)
             mb = iid * IMAT_STRIDE
-            m = [imat_ref[mb + j] for j in range(12)]
-            md = [imat_ref[mb + 12 + j] for j in range(12)]
             tcl = jnp.clip(tvec, 0.0, 1.0)
-            M = [m[j] + tcl * md[j] for j in range(12)]  # [rows,LANES] each
+            if not trs:
+                m = [imat_ref[mb + j] for j in range(12)]
+                md = [imat_ref[mb + 12 + j] for j in range(12)]
+                M = [m[j] + tcl * md[j] for j in range(12)]  # [rows,LANES]
+            else:
+                # animated scene: per-lane TRS interpolation of the w2p
+                # decomposition (animated_transform.rs interpolate) — quat
+                # SLERP for rotation (exact arc; the matrix lerp shrinks
+                # and shears large rotations), lerped T and S. theta is a
+                # per-instance SCALAR (SMEM), only t is per lane.
+                T0 = [imat_ref[mb + 24 + j] for j in range(3)]
+                T1 = [imat_ref[mb + 27 + j] for j in range(3)]
+                q0 = [imat_ref[mb + 30 + j] for j in range(4)]
+                q1 = [imat_ref[mb + 34 + j] for j in range(4)]
+                S0 = [imat_ref[mb + 38 + j] for j in range(9)]
+                S1 = [imat_ref[mb + 47 + j] for j in range(9)]
+                dq = q0[0] * q1[0] + q0[1] * q1[1] + q0[2] * q1[2] \
+                    + q0[3] * q1[3]
+                dq = jnp.minimum(jnp.maximum(dq, -1.0), 1.0)
+                theta = jnp.arccos(dq)
+                sth = jnp.sin(theta)
+                small = sth < 1e-4
+                a = tcl * theta
+                inv_s = 1.0 / jnp.where(small, 1.0, sth)
+                w1 = jnp.where(small, tcl, jnp.sin(a) * inv_s)
+                w0 = jnp.where(small, 1.0 - tcl, jnp.sin(theta - a) * inv_s)
+                q = [w0 * q0[j] + w1 * q1[j] for j in range(4)]
+                qn = jax.lax.rsqrt(q[0] * q[0] + q[1] * q[1]
+                                   + q[2] * q[2] + q[3] * q[3])
+                x, y, z, w_ = [q[j] * qn for j in range(4)]
+                R9 = [1 - 2 * (y * y + z * z), 2 * (x * y - z * w_),
+                      2 * (x * z + y * w_),
+                      2 * (x * y + z * w_), 1 - 2 * (x * x + z * z),
+                      2 * (y * z - x * w_),
+                      2 * (x * z - y * w_), 2 * (y * z + x * w_),
+                      1 - 2 * (x * x + y * y)]
+                Sv = [S0[j] + tcl * (S1[j] - S0[j]) for j in range(9)]
+                M = []
+                for r in range(3):
+                    for c in range(3):
+                        M.append(R9[3 * r + 0] * Sv[0 + c]
+                                 + R9[3 * r + 1] * Sv[3 + c]
+                                 + R9[3 * r + 2] * Sv[6 + c])
+                    M.append(T0[r] + tcl * (T1[r] - T0[r]))
             tox = M[0] * wox + M[1] * woy + M[2] * woz + M[3]
             toy = M[4] * wox + M[5] * woy + M[6] * woz + M[7]
             toz = M[8] * wox + M[9] * woy + M[10] * woz + M[11]
@@ -452,9 +632,9 @@ def _kernel_inst(meta_ref, imat_ref, iroot_ref,
     jax.lax.fori_loop(0, nblocks, block_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "trs"))
 def intersect_instances(ib: InstanceBVH, o, d, t_max, time=None,
-                        interpret=False):
+                        interpret=False, trs=False):
     """Closest instanced-triangle hit. Returns (TriHit with GLOBAL tri ids,
     inst [N] i32, -1 for miss)."""
     N = o.shape[0]
@@ -478,7 +658,8 @@ def intersect_instances(ib: InstanceBVH, o, d, t_max, time=None,
         return v.reshape(R, LANES)
 
     nblocks = Np // BLK
-    kern = functools.partial(_kernel_inst, rows=ROWS, nblocks=nblocks)
+    kern = functools.partial(_kernel_inst, rows=ROWS, nblocks=nblocks,
+                             trs=trs)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shapes = [jax.ShapeDtypeStruct((R, LANES), jnp.float32),

@@ -564,6 +564,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     flags = SceneFlags(
         n_tris=n_tri_real, n_quadrics=n_quad_real, n_lights=n_lights,
         n_instances=n_instances, n_world_tris=n_world_tri,
+        any_animated_inst=any(i.get("animated") for i in desc.instances),
         bsdf_fams=tuple(material_families(desc.materials)),
         n_materials=len(desc.materials),
         has_infinite=any(k == L_INFINITE for k in l_kind[:n_lights]),

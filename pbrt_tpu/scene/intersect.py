@@ -205,7 +205,8 @@ def _instance_pass(scene, flags, o, d, tri_t, tri_id, b1, b2, time):
     inst)."""
     from pbrt_tpu.accel.pallas_instance import intersect_instances
     thi, inst_i = intersect_instances(scene.ibvh, o, d, tri_t, time=time,
-                                      interpret=not flags.use_pallas)
+                                      interpret=not flags.use_pallas,
+                                      trs=flags.any_animated_inst)
     hit_i = thi.tri >= 0        # already bounded by tri_t
     tri_t = jnp.where(hit_i, thi.t, tri_t)
     tri_id = jnp.where(hit_i, thi.tri, tri_id)
@@ -429,10 +430,18 @@ def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id,
         tt = jnp.zeros((N,), jnp.float32) if time is None else \
             jnp.broadcast_to(time, (N,)).astype(jnp.float32)
         w = jnp.clip(tt, 0.0, 1.0)[:, None]
-        A = vm.gather_rows(scene.ibvh.i2w, ii)          # [N,2,16]
-        Mi = (A[:, 0] + w * (A[:, 1] - A[:, 0])).reshape(N, 4, 4)
-        Wm = vm.gather_rows(scene.ibvh.w2p, ii)
-        Mw = (Wm[:, 0] + w * (Wm[:, 1] - Wm[:, 0])).reshape(N, 4, 4)
+        if flags.any_animated_inst:
+            # match the kernel's TRS/slerp interpolation exactly
+            from pbrt_tpu.accel.pallas_instance import (trs_matrices_at,
+                                                        IMAT_STRIDE)
+            rows_i = vm.gather_rows(
+                scene.ibvh.imat.reshape(-1, IMAT_STRIDE), ii)
+            Mw, Mi = trs_matrices_at(rows_i, w[:, 0])
+        else:
+            A = vm.gather_rows(scene.ibvh.i2w, ii)          # [N,2,16]
+            Mi = (A[:, 0] + w * (A[:, 1] - A[:, 0])).reshape(N, 4, 4)
+            Wm = vm.gather_rows(scene.ibvh.w2p, ii)
+            Mw = (Wm[:, 0] + w * (Wm[:, 1] - Wm[:, 0])).reshape(N, 4, 4)
         lin = Mi[:, :3, :3]
         p_i = o + t[:, None] * d
         dpdu_i = jnp.einsum("nij,nj->ni", lin, dpdu)
@@ -522,7 +531,8 @@ def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max, time=None):
         thi, _ = intersect_instances(scene.ibvh, o, d,
                                      jnp.asarray(t_max, jnp.float32),
                                      time=time,
-                                     interpret=not flags.use_pallas)
+                                     interpret=not flags.use_pallas,
+                                     trs=flags.any_animated_inst)
         occluded = occluded | (thi.tri >= 0)
     if flags.n_quadrics > 0:
         q_t, q_id = _quadric_pass(scene, flags, o, d, jnp.asarray(t_max, jnp.float32))

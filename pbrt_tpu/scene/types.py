@@ -125,6 +125,9 @@ class SceneFlags:
     # indices of infinite lights, known at build: the escaped-ray MIS pdf
     # loops over these instead of every light (VERDICT r2 weak item)
     infinite_light_ids: Tuple[int, ...] = ()
+    # any instance carries an animated transform: switches the two-level
+    # kernel + shading frame to the TRS/slerp interpolation path
+    any_animated_inst: bool = False
 
 
 @dataclasses.dataclass

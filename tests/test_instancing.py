@@ -135,3 +135,43 @@ def test_instance_defined_under_nonidentity_ctm_matches_baked():
     img_i = render(cs_i)
     img_b = render(load_scene_string(baked))
     np.testing.assert_allclose(img_i, img_b, rtol=5e-3, atol=5e-3)
+
+
+def test_animated_rotation_slerps():
+    """VERDICT r3 missing #4 (animated_transform.rs:9 decompose/slerp): at
+    shutter midpoint a 90-degree keyframe rotation must evaluate as the
+    EXACT 45-degree pose. The old matrix lerp gives a shrunken-sheared
+    matrix (0.707 scale at 90 degrees) — hits diverge visibly."""
+    import jax.numpy as jnp
+    from pbrt_tpu.scene.intersect import intersect
+
+    anim = (HEAD + 'AttributeBegin\n  Material "matte" "rgb Kd" [0.7 0.3 0.2]\n'
+            '  ActiveTransform StartTime\n'
+            '  ActiveTransform EndTime\n  Rotate 90 0 0 1\n'
+            '  ActiveTransform All\n' + PYRAMID + 'AttributeEnd\nWorldEnd\n')
+    baked = (HEAD + 'AttributeBegin\n  Material "matte" "rgb Kd" [0.7 0.3 0.2]\n'
+             '  Rotate 45 0 0 1\n' + PYRAMID + 'AttributeEnd\nWorldEnd\n')
+    cs_a = load_scene_string(anim)
+    cs_b = load_scene_string(baked)
+    assert cs_a.flags.n_instances == 1 and cs_a.flags.any_animated_inst
+
+    g = np.linspace(-1.2, 1.2, 24).astype(np.float32)
+    xs, ys = np.meshgrid(g, g)
+    n = xs.size
+    o = jnp.asarray(np.stack([xs.ravel(), ys.ravel() + 0.4,
+                              np.full(n, 5.0, np.float32)], -1))
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (n, 3))
+    tmax = jnp.full((n,), 1e30)
+    si_a = intersect(cs_a.data, cs_a.flags, o, d, tmax,
+                     time=jnp.full((n,), 0.5))
+    si_b = intersect(cs_b.data, cs_b.flags, o, d, tmax)
+    va, vb = np.asarray(si_a.valid), np.asarray(si_b.valid)
+    # identical silhouette (the lerp pose shrinks the pyramid ~30%)
+    assert (va == vb).mean() > 0.99, f"silhouette differs: {(va != vb).sum()}"
+    both = va & vb
+    assert both.sum() > 20
+    np.testing.assert_allclose(np.asarray(si_a.t)[both],
+                               np.asarray(si_b.t)[both], atol=5e-3)
+    # shading normals carried through the slerped frame too
+    na, nb = np.asarray(si_a.ns)[both], np.asarray(si_b.ns)[both]
+    assert np.abs((na * nb).sum(-1)).min() > 0.999
