@@ -306,21 +306,32 @@ def render_bdpt(cs, options=None, verbose=False):
     table = cs.film.filter_table()
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(film, s):
+    def step(film, s, cnt_acc):
         px = jnp.asarray(px_all)
         py = jnp.asarray(py_all)
         sidx = jnp.full((n_pix,), s, jnp.int32)
-        L, p_film, splat_p, splat_v = _bdpt_sample(cs, px, py, sidx, D)
+        L, p_film, splat_p, splat_v, cnt = _bdpt_sample(cs, px, py, sidx, D,
+                                                        with_stats=True)
         film = add_samples(cs.film, film, p_film, L, table=table)
         film = add_splats(cs.film, film, splat_p, splat_v)
-        return film
+        cnt_acc = jax.tree.map(lambda a, b: a + b, cnt_acc, cnt)
+        return film, cnt_acc
 
+    import time as _time
+    from pbrt_tpu.utils.stats import (STATS, device_counters_zero,
+                                      merge_device_counters)
+    t0 = _time.time()
     film = FilmState.zeros(cs.film)
+    cnt_acc = device_counters_zero()
     for s in range(spp):
-        film = step(film, jnp.int32(s))
+        film, cnt_acc = step(film, jnp.int32(s), cnt_acc)
         if verbose:
             print(f"  bdpt spp {s+1}/{spp}")
-    return np.asarray(develop(cs.film, film, splat_scale=1.0 / spp))
+    img = np.asarray(develop(cs.film, film, splat_scale=1.0 / spp))
+    merge_device_counters(STATS, jax.tree.map(float, cnt_acc))
+    STATS.report_distribution("Performance/BDPT render seconds",
+                              _time.time() - t0)
+    return img
 
 
 def render_bdpt_debug(cs, out_dir, options=None, verbose=False):
@@ -364,7 +375,7 @@ def render_bdpt_debug(cs, out_dir, options=None, verbose=False):
 
 def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
                  st_filter=None, sampler_fn=None, p_film_override=None,
-                 st_select=None):
+                 st_select=None, with_stats=False):
     """One BDPT sample for each pixel: returns (L, p_film, splat_p, splat_v).
 
     st_filter: optional static (s, t) pair — keep only that strategy's
@@ -436,6 +447,15 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
     n_cam = _length(cam_v)
     n_light = _length(light_v)
 
+    # device counters (utils/stats.py; the reference declares bdpt stats
+    # in integrators/src/bdpt/mod.rs — zero-radiance paths etc.)
+    from pbrt_tpu.utils.stats import device_counters_zero
+    cnt = device_counters_zero()
+    cnt["camera_rays"] = cnt["camera_rays"] + jnp.float32(n)
+    cnt["bounce_rays"] = cnt["bounce_rays"] + jnp.sum(
+        n_cam.astype(jnp.float32) + n_light.astype(jnp.float32))
+    cnt["valid_hits"] = cnt["valid_hits"] + jnp.sum(n_cam.astype(jnp.float32))
+
     L = jnp.zeros((n, 3), jnp.float32)
     splat_parts = []
     sel_raster = p_film   # select mode: t=1 lanes override with their raster
@@ -494,6 +514,8 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
         occ, tr1 = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt], ls.p_light,
                              ls.wi, medium=cam_v.medium[:, kt], time=time)
         contrib1 = cam_v.beta[:, kt] * f_c * ls.li * tr1 * (g_cos / jnp.maximum(ls.pdf * pmf1, 1e-12))[:, None]
+        cnt["shadow_rays"] = cnt["shadow_rays"] + jnp.sum(
+            cam_ok.astype(jnp.float32))
         ok1 = cam_ok & (ls.pdf > 0) & ~B.black(contrib1) & ~occ & st_mask(1, t, n)
         w1 = _mis_weight_s1(cs, cam_v, kt, ls, li1, cam_o, pdf_c_fwd, pdf_c_rev)
         if "s1" in strategies and keep(1, t):
@@ -556,12 +578,16 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
 
     if st_select is not None:
         return L, sel_raster, None, None
+    if with_stats:
+        pass  # cnt returned below
     if splat_parts:
         splat_p = jnp.concatenate([sp for sp, _ in splat_parts])
         splat_v = jnp.concatenate([sv for _, sv in splat_parts])
     else:
         splat_p = jnp.zeros((n, 2), jnp.float32)
         splat_v = jnp.zeros((n, 3), jnp.float32)
+    if with_stats:
+        return L, p_film, splat_p, splat_v, cnt
     return L, p_film, splat_p, splat_v
 
 

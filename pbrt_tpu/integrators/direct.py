@@ -19,7 +19,8 @@ from pbrt_tpu.integrators.common import (bounce_base, camera_rays,
                                          sample_one_light)
 
 
-def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all"):
+def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all",
+              with_stats: bool = False):
     spec = cs.sampler
     data = cs.data
     flags = cs.flags
@@ -32,9 +33,15 @@ def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all")
     beta = jnp.ones((n, 3), jnp.float32)
     active = jnp.ones((n,), bool)
 
+    from pbrt_tpu.utils.stats import device_counters_zero
+    cnt = device_counters_zero()
+    cnt["camera_rays"] = cnt["camera_rays"] + jnp.float32(n)
+
     for bounce in range(max_depth + 1):
         base = bounce_base(bounce)
         si = intersect(data, flags, o, normalize(d), jnp.full((n,), vm.INF))
+        cnt["valid_hits"] = cnt["valid_hits"] + jnp.sum(
+            (active & si.valid).astype(jnp.float32))
         if flags.has_infinite:
             esc = active & ~si.valid
             L = L + jnp.where(esc[:, None],
@@ -54,6 +61,8 @@ def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all")
         u_light = sample_2d(spec, px, py, sample_idx, base + 2)
 
         if strategy == "one":
+            cnt["shadow_rays"] = cnt["shadow_rays"] + jnp.sum(
+                active.astype(jnp.float32))
             ld = sample_one_light(cs, si, lobes, active, u_sel, u_light)
             L = L + jnp.where(active[:, None], beta * ld, 0.0)
         else:
@@ -70,6 +79,8 @@ def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all")
                 to_l = ls.p_light - so
                 dist = vm.length(to_l)
                 sd = to_l / jnp.maximum(dist, 1e-12)[:, None]
+                cnt["shadow_rays"] = cnt["shadow_rays"] + jnp.sum(
+                    ok.astype(jnp.float32))
                 occ = intersect_p(data, flags, so, sd, dist * (1 - 1e-3))
                 pdf_b = B.bsdf_pdf(lobes, wo_local, wi_local, data.fourier if flags.has_fourier else None)
                 w = jnp.where(ls.is_delta, 1.0,
@@ -89,7 +100,11 @@ def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all")
                          beta * bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-12))[:, None],
                          beta)
         active = ok
+        cnt["bounce_rays"] = cnt["bounce_rays"] + jnp.sum(
+            ok.astype(jnp.float32))
         o = si.spawn_origin(wi_world)
         d = wi_world
 
+    if with_stats:
+        return L, p_film, ray_w, cnt
     return L, p_film, ray_w

@@ -218,14 +218,27 @@ def render_mlt(cs, options=None, verbose=False):
         L_cur = jnp.where(acc[:, None], L_prop, L_cur)
         y_cur = jnp.where(acc, y_prop, y_cur)
         pf_cur = jnp.where(acc[:, None], pf_prop, pf_cur)
-        return film, u_cur, L_cur, y_cur, pf_cur
+        return film, u_cur, L_cur, y_cur, pf_cur, jnp.sum(
+            acc.astype(jnp.float32))
 
+    import time as _time
+    from pbrt_tpu.utils.stats import STATS
+    t0 = _time.time()
     film = FilmState.zeros(cs.film)
+    n_acc = jnp.float32(0)
     for step in range(n_steps):
-        film, u_cur, L_cur, y_cur, pf_cur = mlt_step(
+        film, u_cur, L_cur, y_cur, pf_cur, acc_s = mlt_step(
             film, u_cur, L_cur, y_cur, pf_cur, jnp.uint32(step + 1))
+        n_acc = n_acc + acc_s
         if verbose and (step + 1) % 50 == 0:
             print(f"  mlt step {step+1}/{n_steps}")
+    # stats parity (mlt/mod.rs declares acceptance-rate stats)
+    STATS.report_ratio("Integrator/Acceptance rate",
+                       float(n_acc), float(n_steps * n_chains))
+    STATS.report_counter("Integrator/MLT mutations", n_steps * n_chains)
+    STATS.report_counter("Integrator/MLT bootstrap samples", n_bootstrap)
+    STATS.report_distribution("Performance/MLT render seconds",
+                              _time.time() - t0)
 
     # final image = splats / mutations_per_pixel. (The reference's write uses
     # b/mutationsPerPixel because its splat weights carry 1/b via the

@@ -82,7 +82,8 @@ def intersect_tr(data, flags, cur_medium, o, d, dist, keys, hashes):
     return tr, occluded
 
 
-def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.0):
+def li_volpath(cs, px, py, sample_idx, max_depth: int = 5,
+               rr_threshold: float = 1.0, with_stats: bool = False):
     spec = cs.sampler
     data = cs.data
     flags = cs.flags
@@ -103,6 +104,10 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float =
     prev_p = o
     eta_scale = jnp.ones((n,), jnp.float32)
     cur_medium = jnp.broadcast_to(jnp.asarray(data.camera_medium, jnp.int32), (n,))
+
+    from pbrt_tpu.utils.stats import device_counters_zero
+    cnt = device_counters_zero()
+    cnt["camera_rays"] = cnt["camera_rays"] + jnp.float32(n)
 
     def med_keys(bounce, salt):
         a = hash4(pxu, pyu, su, U32(0xB0 + bounce))
@@ -150,6 +155,8 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float =
             L = L + jnp.where(hit_l[:, None], beta * le * w[:, None], 0.0)
 
         active = in_medium | (surf_lane & si.valid)
+        cnt["valid_hits"] = cnt["valid_hits"] + jnp.sum(
+            active.astype(jnp.float32))
         if bounce == max_depth:
             break
 
@@ -182,6 +189,8 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float =
             f = jnp.where(in_medium[:, None], p_phase[:, None], f_surf)
             pdf_b = jnp.where(in_medium, p_phase, pdf_b_surf)
 
+            cnt["shadow_rays"] = cnt["shadow_rays"] + jnp.sum(
+                (active & ~is_null).astype(jnp.float32))
             nee_ok = active & (ls.pdf > 0) & ~B.black(f) & ~B.black(ls.li) & (pmf > 0) & ~is_null
             so = jnp.where(in_medium[:, None], ref_p, si.spawn_origin(ls.wi))
             to_l = ls.p_light - so
@@ -225,6 +234,8 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float =
         ok = jnp.where(in_medium | is_null, jnp.ones(n, bool), ok_surf)
         beta = jnp.where((active & ok)[:, None], beta * bmul, beta)
         active = active & ok
+        cnt["bounce_rays"] = cnt["bounce_rays"] + jnp.sum(
+            active.astype(jnp.float32))
         specular_bounce = jnp.where(in_medium | is_null,
                                     jnp.where(is_null, specular_bounce, jnp.zeros(n, bool)),
                                     bs.is_specular)
@@ -250,6 +261,10 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float =
             survive = ~do_rr | (u_rr >= q)
             beta = jnp.where((do_rr & survive)[:, None],
                              beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
+            cnt["paths_terminated_rr"] = cnt["paths_terminated_rr"] + jnp.sum(
+                (active & ~survive).astype(jnp.float32))
             active = active & survive
 
+    if with_stats:
+        return L, p_film, ray_w, cnt
     return L, p_film, ray_w

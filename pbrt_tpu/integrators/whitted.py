@@ -19,7 +19,8 @@ from pbrt_tpu.scene.intersect import intersect, intersect_p
 from pbrt_tpu.integrators.common import bounce_base, camera_rays
 
 
-def li_whitted(cs, px, py, sample_idx, max_depth: int = 5):
+def li_whitted(cs, px, py, sample_idx, max_depth: int = 5,
+               with_stats: bool = False):
     spec = cs.sampler
     data = cs.data
     flags = cs.flags
@@ -32,9 +33,16 @@ def li_whitted(cs, px, py, sample_idx, max_depth: int = 5):
     beta = jnp.ones((n, 3), jnp.float32)
     active = jnp.ones((n,), bool)
 
+    # device counter pytree (utils/stats.py; SURVEY sect. 5.5)
+    from pbrt_tpu.utils.stats import device_counters_zero
+    cnt = device_counters_zero()
+    cnt["camera_rays"] = cnt["camera_rays"] + jnp.float32(n)
+
     for bounce in range(max_depth + 1):
         base = bounce_base(bounce)
         si = intersect(data, flags, o, normalize(d), jnp.full((n,), vm.INF))
+        cnt["valid_hits"] = cnt["valid_hits"] + jnp.sum(
+            (active & si.valid).astype(jnp.float32))
 
         if flags.has_infinite:
             esc = active & ~si.valid
@@ -67,6 +75,8 @@ def li_whitted(cs, px, py, sample_idx, max_depth: int = 5):
             to_l = ls.p_light - so
             dist = vm.length(to_l)
             sd = to_l / jnp.maximum(dist, 1e-12)[:, None]
+            cnt["shadow_rays"] = cnt["shadow_rays"] + jnp.sum(
+                ok.astype(jnp.float32))
             occ = intersect_p(data, flags, so, sd, dist * (1 - 1e-3))
             contrib = f * ls.li / jnp.maximum(ls.pdf, 1e-12)[:, None]
             L = L + jnp.where((ok & ~occ)[:, None], beta * contrib, 0.0)
@@ -82,7 +92,11 @@ def li_whitted(cs, px, py, sample_idx, max_depth: int = 5):
                          beta * bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-12))[:, None],
                          beta)
         active = ok
+        cnt["bounce_rays"] = cnt["bounce_rays"] + jnp.sum(
+            ok.astype(jnp.float32))
         o = si.spawn_origin(wi_world)
         d = wi_world
 
+    if with_stats:
+        return L, p_film, ray_w, cnt
     return L, p_film, ray_w
