@@ -92,7 +92,11 @@ def compile_materials(decls, tex_name_to_id=None, cwd="."):
         ps = d.params
         defaults = {
             M_MATTE: {"Kd": 0.5, "sigma": 0.0},
-            M_PLASTIC: {"Kd": 0.25, "Ks": 0.25, "roughness": 0.1},
+            # opacity slot must default to 1: plastic has no opacity param
+            # in pbrt (only uber does) but compute_lobes scales Kd/Ks by the
+            # slot for both kinds — a 0 default renders plastic black
+            M_PLASTIC: {"Kd": 0.25, "Ks": 0.25, "roughness": 0.1,
+                        "opacity": 1.0},
             M_GLASS: {"Kr": 1.0, "Kt": 1.0, "roughness": 0.0},
             M_MIRROR: {"Kr": 0.9},
             M_METAL: {"roughness": 0.01},

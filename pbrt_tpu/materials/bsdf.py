@@ -397,10 +397,16 @@ def bsdf_pdf(lb: Lobes, wo, wi, ftab=None, fams=None):
     if glossy_t:
         eta = jnp.where(cos_theta(wo) > 0.0, lb.eta, 1.0 / jnp.maximum(lb.eta, 1e-9))
         wht = normalize(wo + wi * eta[..., None])
+        # the sampler can only produce wi whose half-vector separates wo/wi
+        # (MicrofacetTransmission::pdf same-side rejection,
+        # core/src/reflection/mod.rs); without this the mixture pdf gains
+        # phantom density on transmitted directions and biases co-present
+        # transmission lobes down ~7%
+        sep = (dot(wo, wht) * dot(wi, wht)) <= 0.0
         dwh_dwi = jnp.abs((eta * eta * dot(wi, wht))
                           / jnp.maximum((dot(wo, wht) + eta * dot(wi, wht)) ** 2, 1e-12))
         p_gt = mf_pdf(lb.dist, wo, wht, lb.rough_tu, lb.rough_tv) * dwh_dwi
-        pdf = pdf + w[..., 3] * jnp.where(~refl, p_gt, 0.0)
+        pdf = pdf + w[..., 3] * jnp.where((~refl) & sep, p_gt, 0.0)
     return pdf
 
 
