@@ -74,6 +74,65 @@ def run_timing(prep, iters: int):
     prep["iters"] = iters
 
 
+def time_stages(prep):
+    """Per-stage wall times (VERDICT r4 #3): traversal kernel / shading
+    glue / sort / film-side pieces, each jitted standalone at the bench
+    wavefront size. Run BEFORE any D2H read; returns a dict of ms."""
+    import time as _time
+    import jax
+    import jax.numpy as jnp
+    from pbrt_tpu.scene.intersect import intersect, intersect_pair
+    from pbrt_tpu.integrators.common import camera_rays, prepare_one_light
+    from pbrt_tpu.materials import compute_lobes
+    from pbrt_tpu.materials import bsdf as B
+    from pbrt_tpu.core.math import normalize
+
+    cs, px, py = prep["cs"], prep["px"], prep["py"]
+    data, flags = cs.data, cs.flags
+    N = prep["chunk"]
+    sidx = jnp.ones((N,), jnp.int32)
+
+    def timeit(f, *args, iters=8):
+        out = jax.block_until_ready(f(*args))
+        t0 = _time.time()
+        for _ in range(iters):
+            out = f(*args)
+        jax.block_until_ready(out)
+        return (_time.time() - t0) / iters * 1e3
+
+    st = {}
+    f_cam = jax.jit(lambda a, b, c: camera_rays(cs, a, b, c)[0])
+    rays = jax.block_until_ready(f_cam(px, py, sidx))
+    o, d = rays.o, normalize(rays.d)
+    tmax = jnp.full((N,), 1e30, jnp.float32)
+    st["camera_rays"] = timeit(f_cam, px, py, sidx)
+    f_int = jax.jit(lambda o, d: intersect(data, flags, o, d, tmax))
+    si = jax.block_until_ready(f_int(o, d))
+    st["intersect_camera"] = timeit(f_int, o, d)
+    u1 = jnp.linspace(0.01, 0.99, N)
+    u2 = jnp.stack([u1, 1.0 - u1], -1)
+    f_lob = jax.jit(lambda si, u: compute_lobes(
+        data.mats, data.tex, si.material, si.uv, si.p, u, flags.has_tex_slot))
+    lobes = jax.block_until_ready(f_lob(si, u1))
+    st["compute_lobes"] = timeit(f_lob, si, u1)
+    act = si.valid
+    f_nee = jax.jit(lambda si, lo: prepare_one_light(cs, si, lo, act, u1, u2))
+    ld, o_sh, d_sh, dist_sh, nee_live = jax.block_until_ready(f_nee(si, lobes))
+    st["nee_prepare"] = timeit(f_nee, si, lobes)
+    wo_l = si.world_to_local(si.wo)
+    f_bs = jax.jit(lambda lo, w, a, b: B.bsdf_sample(lo, w, a, b,
+                                                     fams=flags.bsdf_fams))
+    bs = jax.block_until_ready(f_bs(lobes, wo_l, u1, u2))
+    st["bsdf_sample"] = timeit(f_bs, lobes, wo_l, u1, u2)
+    wi_w = si.local_to_world(bs.wi)
+    o_b = si.spawn_origin(wi_w)
+    f_pair = jax.jit(lambda o, d, a, b, c: intersect_pair(
+        data, flags, o, d, jnp.full((N,), 1e30), act, a, b, c, nee_live))
+    jax.block_until_ready(f_pair(o_b, wi_w, o_sh, d_sh, dist_sh))
+    st["bounce_pair_trace"] = timeit(f_pair, o_b, wi_w, o_sh, d_sh, dist_sh)
+    return {k: round(v, 2) for k, v in st.items()}
+
+
 def report_scene(prep):
     """D2H-heavy reporting — only after every timing loop has run."""
     import jax
@@ -141,8 +200,12 @@ def main():
     prep_s = prepare_scene(False, chunk)
     run_timing(prep_l, iters)
     run_timing(prep_s, iters)
+    stages_l = time_stages(prep_l)
+    stages_s = time_stages(prep_s)
     large = report_scene(prep_l)
     small = report_scene(prep_s)
+    large["stages_ms"] = stages_l
+    small["stages_ms"] = stages_s
     baseline = 100.0  # BASELINE.json north star: 100 Mrays/s/chip
 
     print(json.dumps({

@@ -46,15 +46,16 @@ def morton3(q, bits):
 
 
 def main():
-    cs = _build_scene()
+    cs = _build_scene(large=os.environ.get('LARGE','0')=='1')
     pb = cs.data.pbvh
     n = int(os.environ.get("N", 1 << 16))
     # realistic bounce wavefront
-    lin = np.arange(n, dtype=np.int64) % (64 * 64)
-    xs = (lin % 64).astype(np.int64)
-    ys = (lin // 64).astype(np.int64)
+    res = 256 if os.environ.get("LARGE","0")=="1" else 64
+    lin = np.arange(n, dtype=np.int64) % (res * res)
+    xs = (lin % res).astype(np.int64)
+    ys = (lin // res).astype(np.int64)
     key = np.zeros_like(xs)
-    for b in range(6):
+    for b in range(res.bit_length()-1):
         key |= ((xs >> b) & 1) << (2 * b) | ((ys >> b) & 1) << (2 * b + 1)
     order = np.argsort(key, kind="stable")
     px = jnp.asarray(xs[order], jnp.int32)
