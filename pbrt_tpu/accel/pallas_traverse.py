@@ -998,6 +998,345 @@ def _kernel_block_all(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
     jax.lax.fori_loop(0, nblocks, block_body, 0)
 
 
+def _kernel_block_queue(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
+                        seed_ref,
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
+                        t_out, tri_out, b1_out, b2_out, it_out,
+                        stack_ref, scal_ref,
+                        rox_s, roy_s, roz_s, rix_s, riy_s, riz_s,
+                        oxi_s, oyi_s, ozi_s, kx_s, ky_s, kz_s,
+                        sx_s, sy_s, sz_s, ts_s, tri_s, b1_s, b2_s,
+                        *, any_hit: bool, rows: int, pops: int, nblocks: int,
+                        groups: int):
+    """Persistent-worker mega-packet traversal: G co-resident block walks.
+
+    Why: one walk's per-pop chain (SMEM pop -> VMEM fetch -> roll -> slab ->
+    cross-lane vote -> serialized pushes) is latency-serialized at ~200ns/pop
+    and leaves the VPU half idle. G independent walks interleave their
+    chains — the compiler overlaps group A's vector slab/leaf work with
+    group B's scalar pop/vote chain (measured: 2 static co-resident walks
+    run at 159ns/pop vs 209 solo). Static pairing loses the win to max()
+    imbalance (iters 120 -> 153), so blocks are pulled from an SMEM work
+    QUEUE: a group that drains its stack writes its results out and
+    re-arms with the next unprocessed block while the others keep walking.
+
+    Group state lives in VMEM scratch (rays + slab/shear precomputes +
+    running best-hit), [G*rows, 128] each, sliced statically per group.
+    scal_ref (SMEM) holds per-group scalars [G, 8]:
+      0 sp  1 cur_blk  2 start_it  3 ovf  4 blk_any  5..7 swap_axis
+    and scal_ref[groups, 0] is the queue head."""
+    f32 = jnp.float32
+    tiny = f32(1e-20)
+    Q_SP, Q_CUR, Q_IT0, Q_OVF, Q_ANY, Q_SW = 0, 1, 2, 3, 4, 5
+
+    for g in range(groups):
+        scal_ref[g, Q_SP] = 0
+        scal_ref[g, Q_CUR] = -1
+    scal_ref[groups, 0] = 0   # queue head
+
+    scnt = sslot_ref[8]
+    zrow = jnp.zeros((rows, 1), f32)
+
+    def gsl(g):
+        return slice(g * rows, (g + 1) * rows)
+
+    def bc(v):
+        return v + zrow
+
+    def slab(st, lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, t_best):
+        ix, iy, iz = st["ix"], st["iy"], st["iz"]
+        oxi, oyi, ozi = st["oxi"], st["oyi"], st["ozi"]
+        t0x = lo_x * ix - oxi
+        t1x = hi_x * ix - oxi
+        t0y = lo_y * iy - oyi
+        t1y = hi_y * iy - oyi
+        t0z = lo_z * iz - ozi
+        t1z = hi_z * iz - ozi
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z)) * f32(1.00000024)
+        return (tn <= tf) & (tf > 0.0) & (tn < t_best)
+
+    def tri_test(st, v, t_best):
+        ox, oy, oz = st["ox"], st["oy"], st["oz"]
+        kx, ky, kz = st["kx"], st["ky"], st["kz"]
+        sx, sy, sz = st["sx"], st["sy"], st["sz"]
+        p0x, p0y, p0z = v[:, 0:1], v[:, 1:2], v[:, 2:3]
+        p1x, p1y, p1z = v[:, 3:4], v[:, 4:5], v[:, 5:6]
+        p2x, p2y, p2z = v[:, 6:7], v[:, 7:8], v[:, 8:9]
+
+        def shear(px, py, pz):
+            tx, ty, tz = px - ox, py - oy, pz - oz
+            vx = _pick(tx, ty, tz, kx)
+            vy = _pick(tx, ty, tz, ky)
+            vz = _pick(tx, ty, tz, kz)
+            return vx + sx * vz, vy + sy * vz, vz * sz
+
+        x0, y0, z0 = shear(p0x, p0y, p0z)
+        x1, y1, z1 = shear(p1x, p1y, p1z)
+        x2, y2, z2 = shear(p2x, p2y, p2z)
+        e0 = x1 * y2 - y1 * x2
+        e1 = x2 * y0 - y2 * x0
+        e2 = x0 * y1 - y0 * x1
+        same = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | \
+            ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+        det = e0 + e1 + e2
+        t_sc = e0 * z0 + e1 * z1 + e2 * z2
+        pos = det > 0
+        t_ok = (pos & (t_sc > f32(1e-4) * det) & (t_sc < t_best * det)) \
+            | (~pos & (t_sc < f32(1e-4) * det) & (t_sc > t_best * det))
+        hit = same & (det != 0.0) & t_ok
+        inv_det = 1.0 / jnp.where(det == 0.0, tiny, det)
+        return hit, t_sc * inv_det, e1 * inv_det, e2 * inv_det
+
+    def leaf_blast(g, st, tb, cnt, blk, blk_any_col):
+        """8-triangle leaf block test against group g's rays."""
+        z16 = jnp.zeros((rows, 16), f32)
+        t_best = ts_s[gsl(g), :]
+        tri_b = tri_s[gsl(g), :]
+        b1_b = b1_s[gsl(g), :]
+        b2_b = b2_s[gsl(g), :]
+        cnt_col = cnt + jnp.zeros((rows, LANES), jnp.int32)
+        for j in range(LEAF_TRIS):
+            hit, t, b1, b2 = tri_test(st, tb[:, j * 16:(j + 1) * 16] + z16,
+                                      t_best)
+            ok = hit & (cnt_col > j)
+            t_best = jnp.where(ok, jnp.where(blk_any_col > 0, 0.0, t), t_best)
+            tri_b = jnp.where(ok, blk * LEAF_TRIS + j, tri_b)
+            b1_b = jnp.where(ok, b1, b1_b)
+            b2_b = jnp.where(ok, b2, b2_b)
+        ts_s[gsl(g), :] = t_best
+        tri_s[gsl(g), :] = tri_b
+        b1_s[gsl(g), :] = b1_b
+        b2_s[gsl(g), :] = b2_b
+
+    def body(carry):
+        it = carry[0]
+
+        # ---- acquire phase: idle groups pull the next block ----
+        for g in range(groups):
+            need = (scal_ref[g, Q_SP] == 0) & (scal_ref[g, Q_CUR] < 0)
+            head = scal_ref[groups, 0]
+            can = need & (head < nblocks)
+
+            @pl.when(can)
+            def _arm(g=g, head=head):
+                scal_ref[groups, 0] = head + 1
+                sl = pl.ds(head * rows, rows)
+                ox = ox_ref[sl, :]
+                oy = oy_ref[sl, :]
+                oz = oz_ref[sl, :]
+                dx = dx_ref[sl, :]
+                dy = dy_ref[sl, :]
+                dz = dz_ref[sl, :]
+                inv_dx = 1.0 / jnp.where(jnp.abs(dx) < tiny,
+                                         jnp.where(dx < 0, -tiny, tiny), dx)
+                inv_dy = 1.0 / jnp.where(jnp.abs(dy) < tiny,
+                                         jnp.where(dy < 0, -tiny, tiny), dy)
+                inv_dz = 1.0 / jnp.where(jnp.abs(dz) < tiny,
+                                         jnp.where(dz < 0, -tiny, tiny), dz)
+                rox_s[gsl(g), :] = ox
+                roy_s[gsl(g), :] = oy
+                roz_s[gsl(g), :] = oz
+                rix_s[gsl(g), :] = inv_dx
+                riy_s[gsl(g), :] = inv_dy
+                riz_s[gsl(g), :] = inv_dz
+                oxi_s[gsl(g), :] = ox * inv_dx
+                oyi_s[gsl(g), :] = oy * inv_dy
+                ozi_s[gsl(g), :] = oz * inv_dz
+                adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+                kz = jnp.where((adx >= ady) & (adx >= adz), 0,
+                               jnp.where(ady >= adz, 1, 2))
+                kx = (kz + 1) % 3
+                ky = (kx + 1) % 3
+                dpz = _pick(dx, dy, dz, kz)
+                dpx = _pick(dx, dy, dz, kx)
+                dpy = _pick(dx, dy, dz, ky)
+                sz = 1.0 / jnp.where(dpz == 0.0, tiny, dpz)
+                kx_s[gsl(g), :] = kx
+                ky_s[gsl(g), :] = ky
+                kz_s[gsl(g), :] = kz
+                sx_s[gsl(g), :] = -dpx * sz
+                sy_s[gsl(g), :] = -dpy * sz
+                sz_s[gsl(g), :] = sz
+                ts_s[gsl(g), :] = tm_ref[sl, :]
+                tri_s[gsl(g), :] = jnp.full((rows, LANES), -1, jnp.int32)
+                b1_s[gsl(g), :] = jnp.zeros((rows, LANES), f32)
+                b2_s[gsl(g), :] = jnp.zeros((rows, LANES), f32)
+                half = rows * LANES // 2
+                swx = jnp.sum(jnp.where(dx < 0.0, 1, 0))
+                swy = jnp.sum(jnp.where(dy < 0.0, 1, 0))
+                swz = jnp.sum(jnp.where(dz < 0.0, 1, 0))
+                scal_ref[g, Q_SW + 0] = jnp.where(swx > half, 1, 0)
+                scal_ref[g, Q_SW + 1] = jnp.where(swy > half, 1, 0)
+                scal_ref[g, Q_SW + 2] = jnp.where(swz > half, 1, 0)
+                ba = 1 if any_hit else 0
+                if not any_hit:
+                    ba = anyhit_ref[head]
+                scal_ref[g, Q_ANY] = ba
+                scal_ref[g, Q_CUR] = head
+                scal_ref[g, Q_IT0] = it
+                scal_ref[g, Q_OVF] = 0
+                stack_ref[g * STACKB] = 0
+                scal_ref[g, Q_SP] = 1
+                # occluder seed: tight t_best before the walk (identical
+                # results: revisits fail the strict t< test)
+                blk_any_col = ba + jnp.zeros((rows, LANES), jnp.int32)
+
+                @pl.when(scnt > 0)
+                def _seed(g=g, blk_any_col=blk_any_col):
+                    st = dict(ox=rox_s[gsl(g), :], oy=roy_s[gsl(g), :],
+                              oz=roz_s[gsl(g), :], kx=kx_s[gsl(g), :],
+                              ky=ky_s[gsl(g), :], kz=kz_s[gsl(g), :],
+                              sx=sx_s[gsl(g), :], sy=sy_s[gsl(g), :],
+                              sz=sz_s[gsl(g), :])
+                    z16s = jnp.zeros((rows, 16), f32)
+                    t_best = ts_s[gsl(g), :]
+                    tri_b = tri_s[gsl(g), :]
+                    b1_b = b1_s[gsl(g), :]
+                    b2_b = b2_s[gsl(g), :]
+                    scnt_col = scnt + jnp.zeros((rows, LANES), jnp.int32)
+                    sb = seed_ref[0:1, :]
+                    for j in range(LEAF_TRIS):
+                        hit, t, b1, b2 = tri_test(
+                            st, sb[:, j * 16:(j + 1) * 16] + z16s, t_best)
+                        ok = hit & (scnt_col > j)
+                        t_best = jnp.where(
+                            ok, jnp.where(blk_any_col > 0, 0.0, t), t_best)
+                        tri_b = jnp.where(ok, sslot_ref[j], tri_b)
+                        b1_b = jnp.where(ok, b1, b1_b)
+                        b2_b = jnp.where(ok, b2, b2_b)
+                    ts_s[gsl(g), :] = t_best
+                    tri_s[gsl(g), :] = tri_b
+                    b1_s[gsl(g), :] = b1_b
+                    b2_s[gsl(g), :] = b2_b
+
+        # ---- preload phase: group ray state -> registers, once per
+        # iteration (scratch reads inside slab/tri_test would otherwise
+        # re-load per pop and eat the overlap win) ----
+        gstate = []
+        for g in range(groups):
+            gstate.append(dict(
+                ox=rox_s[gsl(g), :], oy=roy_s[gsl(g), :], oz=roz_s[gsl(g), :],
+                ix=rix_s[gsl(g), :], iy=riy_s[gsl(g), :], iz=riz_s[gsl(g), :],
+                oxi=oxi_s[gsl(g), :], oyi=oyi_s[gsl(g), :],
+                ozi=ozi_s[gsl(g), :],
+                kx=kx_s[gsl(g), :], ky=ky_s[gsl(g), :], kz=kz_s[gsl(g), :],
+                sx=sx_s[gsl(g), :], sy=sy_s[gsl(g), :], sz=sz_s[gsl(g), :]))
+
+        # ---- pop phase: `pops` nodes per group ----
+        allslots = []
+        for g in range(groups):
+            sp0 = scal_ref[g, Q_SP]
+            slots = []
+            for p in range(pops):
+                act = sp0 > p
+                spi = jnp.maximum(sp0 - 1 - p, 0)
+                idx = stack_ref[g * STACKB + spi]
+                idx = jnp.where(act, idx, 0)
+                w = meta_ref[idx]
+                ax = w & 3
+                cnt0 = (w >> 2) & 15
+                payload = (w >> 6) & 0x3FFFFFF
+                cnt = jnp.where(act, cnt0, 0)
+                blk = jnp.where(cnt0 > 0, payload, 0)
+                nrow = nodes_ref[pl.ds(idx >> 3, 1), :]
+                rec = pltpu.roll(nrow, -(idx & 7) * 16, 1)[:, :16]
+                tb = tris_ref[pl.ds(blk, 1), :]
+                slots.append([act, idx + 1, payload, cnt, blk, ax, rec, tb])
+            allslots.append(slots)
+
+        # ---- slab phase ----
+        allhits = []
+        for g in range(groups):
+            t_best0 = ts_s[gsl(g), :]
+            hits = []
+            for p in range(pops):
+                act, left, payload, cnt, blk, ax, rec, tb = allslots[g][p]
+                gate = jnp.where(act & (cnt == 0), 1, 0) \
+                    + jnp.zeros((rows, LANES), jnp.int32)
+                hit_l = slab(gstate[g], bc(rec[:, 0:1]), bc(rec[:, 1:2]),
+                             bc(rec[:, 2:3]), bc(rec[:, 3:4]),
+                             bc(rec[:, 4:5]), bc(rec[:, 5:6]),
+                             t_best0) & (gate > 0)
+                hit_r = slab(gstate[g], bc(rec[:, 6:7]), bc(rec[:, 7:8]),
+                             bc(rec[:, 8:9]), bc(rec[:, 9:10]),
+                             bc(rec[:, 10:11]), bc(rec[:, 11:12]),
+                             t_best0) & (gate > 0)
+                hits.append((hit_l, hit_r))
+            allhits.append(hits)
+
+        # ---- leaf phase ----
+        for g in range(groups):
+            blk_any_col = scal_ref[g, Q_ANY] + jnp.zeros((rows, LANES),
+                                                         jnp.int32)
+            for p in range(pops):
+                act, left, payload, cnt, blk, ax, rec, tb = allslots[g][p]
+
+                @pl.when(cnt > 0)
+                def _leaf(g=g, tb=tb, cnt=cnt, blk=blk,
+                          blk_any_col=blk_any_col):
+                    leaf_blast(g, gstate[g], tb, cnt, blk, blk_any_col)
+
+        # ---- push phase + retire ----
+        more = False
+        for g in range(groups):
+            sp0 = scal_ref[g, Q_SP]
+            # vote weight: next power of two above the max left-hit count so
+            # the two counts unpack with AND/shift instead of % (the scalar
+            # modulo costs ~10 cycles per pop)
+            W = 2 * rows * LANES
+            sp_s = jnp.maximum(sp0 - pops, 0)
+            ovf = scal_ref[g, Q_OVF]
+            for p in reversed(range(pops)):
+                act, left, payload, cnt, blk, ax, rec, tb = allslots[g][p]
+                hit_l, hit_r = allhits[g][p]
+                v = jnp.sum(jnp.where(hit_l, 1, 0) + jnp.where(hit_r, W, 0))
+                hl = jnp.where((v & (W - 1)) > 0, 1, 0)
+                hr = jnp.where(v >= W, 1, 0)
+                swap = jnp.where(ax == 0, scal_ref[g, Q_SW + 0],
+                                 jnp.where(ax == 1, scal_ref[g, Q_SW + 1],
+                                           scal_ref[g, Q_SW + 2])) > 0
+                near = jnp.where(swap, payload, left)
+                far = jnp.where(swap, left, payload)
+                h_near = jnp.where(swap, hr, hl)
+                h_far = jnp.where(swap, hl, hr)
+                stack_ref[g * STACKB + jnp.minimum(sp_s, STACKB - 1)] = far
+                stack_ref[g * STACKB
+                          + jnp.minimum(sp_s + h_far, STACKB - 1)] = near
+                ovf = jnp.maximum(ovf, jnp.where(
+                    sp_s + h_far + h_near > STACKB - 1, 1, 0))
+                sp_s = jnp.minimum(sp_s + h_far + h_near, STACKB - 1)
+            scal_ref[g, Q_OVF] = ovf
+            cur = scal_ref[g, Q_CUR]
+            live = cur >= 0
+            all_hit = jnp.sum(jnp.where(tri_s[gsl(g), :] >= 0, 1, 0)) \
+                == rows * LANES
+            retire_early = all_hit & ((scal_ref[g, Q_ANY] > 0)
+                                      if not any_hit else True)
+            sp_s = jnp.where(retire_early, 0, sp_s)
+            scal_ref[g, Q_SP] = sp_s
+            done = live & (sp_s == 0)
+
+            @pl.when(done)
+            def _retire(g=g, cur=cur):
+                sl = pl.ds(cur * rows, rows)
+                t_out[sl, :] = ts_s[gsl(g), :]
+                tri_out[sl, :] = tri_s[gsl(g), :]
+                b1_out[sl, :] = b1_s[gsl(g), :]
+                b2_out[sl, :] = b2_s[gsl(g), :]
+                it_out[cur] = (it + 1 - scal_ref[g, Q_IT0]) \
+                    | (scal_ref[g, Q_OVF] << 24)
+                scal_ref[g, Q_CUR] = -1
+
+            more = jnp.logical_or(more, sp_s > 0)
+        more = jnp.logical_or(more, scal_ref[groups, 0] < nblocks)
+        return (it + 1, more)
+
+    jax.lax.while_loop(lambda c: c[1], body, (0, True))
+
+
 def _kernel_block4_all(meta4_ref, axs4_ref, anyhit_ref, sslot_ref,
                        nodes4_ref, tris_ref, seed_ref,
                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
@@ -1303,14 +1642,18 @@ def _ray_sort_key_cols(pb, ox, oy, oz, dx, dy, dz, cells: int = 16):
 POPS = 8
 
 
+QUEUE_GROUPS = 3    # co-resident walks in the persistent-worker kernel
+
+
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
                                              "with_iters", "rows", "pops",
                                              "dbg_skip_leaf", "leaf_gate",
-                                             "use4"))
+                                             "use4", "queue"))
 def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
                    any_hit=False, interpret=False, with_iters=False,
                    rows=ROWS, pops=POPS, anyhit_mask=None,
-                   dbg_skip_leaf=False, leaf_gate=False, use4=None):
+                   dbg_skip_leaf=False, leaf_gate=False, use4=None,
+                   queue=None):
     """Column-SoA mega-packet traversal (block1 mode only).
 
     Takes per-component [N] ray columns — [N,3] column slices and
@@ -1366,6 +1709,39 @@ def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
                   jax.ShapeDtypeStruct((nblocks,), jnp.int32)]
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if queue is None:
+        queue = 0 if (use4 and pb.nodes4 is not None) or dbg_skip_leaf \
+            or leaf_gate else QUEUE_GROUPS
+    if queue and not (use4 and pb.nodes4 is not None):
+        G = queue
+        kern = functools.partial(_kernel_block_queue, any_hit=any_hit,
+                                 rows=rows, pops=pops, nblocks=nblocks,
+                                 groups=G)
+        fscr = lambda: pltpu.VMEM((G * rows, LANES), jnp.float32)
+        iscr = lambda: pltpu.VMEM((G * rows, LANES), jnp.int32)
+        t, tri, b1, b2, iters = pl.pallas_call(
+            kern,
+            out_shape=out_shapes,
+            in_specs=[sm, sm, sm, vm, vm, vm] + [vm] * 7,
+            out_specs=[vm] * 4 + [sm],
+            scratch_shapes=[pltpu.SMEM((G * STACKB,), jnp.int32),
+                            pltpu.SMEM((G + 1, 8), jnp.int32),
+                            fscr(), fscr(), fscr(),      # rox/roy/roz
+                            fscr(), fscr(), fscr(),      # inv d
+                            fscr(), fscr(), fscr(),      # o*inv
+                            iscr(), iscr(), iscr(),      # kx/ky/kz
+                            fscr(), fscr(), fscr(),      # sx/sy/sz
+                            fscr(), iscr(), fscr(), fscr()],  # ts/tri/b1/b2
+            interpret=interpret,
+        )(pb.metas, ah_blocks, pb.seed_slots, pb.nodes, pb.tris, pb.seed,
+          *[comp(c) for c in cols])
+        slot = tri.reshape(-1)[:N]
+        tri_id = jnp.where(slot >= 0, pb.order[jnp.maximum(slot, 0)], -1)
+        th = TriHit(t.reshape(-1)[:N], tri_id,
+                    b1.reshape(-1)[:N], b2.reshape(-1)[:N], slot)
+        if with_iters:
+            return th, iters
+        return th
     if use4 and pb.nodes4 is not None:
         kern = functools.partial(_kernel_block4_all, any_hit=any_hit,
                                  rows=rows, pops=pops, nblocks=nblocks,

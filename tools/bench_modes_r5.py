@@ -48,15 +48,22 @@ def main():
     pb = data.pbvh
 
     cases = [
-        ("block1 r8 p8 (default)", dict(mode="block1", rows=8, pops=8)),
+        ("block1 r8 p8 queue=0", dict(mode="block1", rows=8, pops=8, queue=0)),
+        ("queue G2", dict(mode="block1", rows=8, pops=8, queue=2)),
+        ("queue G3", dict(mode="block1", rows=8, pops=8, queue=3)),
+        ("queue G4", dict(mode="block1", rows=8, pops=8, queue=4)),
 
-        ("block1 r8 p8 skipleaf", dict(mode="block1", rows=8, pops=8, dbg_skip_leaf=True)),
-        ("block1 r8 p8 leafgate", dict(mode="block1", rows=8, pops=8, leaf_gate=True)),
+
     ]
     base = None
     for name, kw in cases:
         try:
-            if "leaf_gate" in kw:
+            if "queue" in kw:
+                f = jax.jit(lambda o, d, kw=kw: _traverse_cols(
+                    pb, o[:,0], o[:,1], o[:,2], d[:,0], d[:,1], d[:,2],
+                    jnp.full((o.shape[0],), 1e30), with_iters=True,
+                    **{k:v for k,v in kw.items() if k not in ("mode",)}))
+            elif "leaf_gate" in kw:
                 f = jax.jit(lambda o, d, kw=kw: _traverse_cols(
                     pb, o[:,0], o[:,1], o[:,2], d[:,0], d[:,1], d[:,2],
                     jnp.full((o.shape[0],), 1e30), with_iters=True, **kw))
