@@ -93,11 +93,15 @@ def prepare_one_light(cs, si, lobes, active, u_sel, u_light):
     if flags.n_lights == 0:
         z = jnp.zeros((n,), jnp.float32)
         up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (n, 3))
-        return (jnp.zeros(si.p.shape, jnp.float32), si.p, up, z,
+        cc = 60 if flags.spectral else 3
+        return (jnp.zeros((n, cc), jnp.float32), si.p, up, z,
                 jnp.zeros((n,), bool))
     light_idx, pmf, _ = select_light(cs, si.p, u_sel)
     ls = LT.sample_li(data.lights, data, light_idx, si.p, u_light,
                       data.world_center, data.world_radius)
+    if flags.spectral:
+        from pbrt_tpu.core.spectrum import rgb_to_spectrum
+        ls = ls._replace(li=rgb_to_spectrum(ls.li))
     wi_local = si.world_to_local(ls.wi)
     wo_local = si.world_to_local(si.wo)
     fams = cs.flags.bsdf_fams
@@ -125,7 +129,8 @@ def sample_one_light(cs, si, lobes, active, u_sel, u_light):
 
     Returns Ld [N,3] (unweighted by beta)."""
     if cs.flags.n_lights == 0:
-        return jnp.zeros(si.p.shape, jnp.float32)
+        return jnp.zeros((si.p.shape[0], 60 if cs.flags.spectral else 3),
+                         jnp.float32)
     ld, o, sd, dist, contributes = prepare_one_light(cs, si, lobes, active,
                                                      u_sel, u_light)
     occluded = intersect_p(cs.data, cs.flags, o, sd, dist)

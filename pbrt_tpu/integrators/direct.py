@@ -29,8 +29,9 @@ def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all",
     rays, ray_w, p_film = camera_rays(cs, px, py, sample_idx,
                                       spp_for_diff=spec.rounded_spp())
     o, d = rays.o, rays.d
-    L = jnp.zeros((n, 3), jnp.float32)
-    beta = jnp.ones((n, 3), jnp.float32)
+    C = 60 if flags.spectral else 3
+    L = jnp.zeros((n, C), jnp.float32)
+    beta = jnp.ones((n, C), jnp.float32)
     active = jnp.ones((n,), bool)
 
     from pbrt_tpu.utils.stats import device_counters_zero
@@ -44,11 +45,17 @@ def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all",
             (active & si.valid).astype(jnp.float32))
         if flags.has_infinite:
             esc = active & ~si.valid
-            L = L + jnp.where(esc[:, None],
-                              beta * LT.le_escaped(data.lights, normalize(d)), 0.0)
+            le_inf = LT.le_escaped(data.lights, normalize(d))
+            if flags.spectral:
+                from pbrt_tpu.core.spectrum import rgb_to_spectrum
+                le_inf = rgb_to_spectrum(le_inf)
+            L = L + jnp.where(esc[:, None], beta * le_inf, 0.0)
         if flags.has_area_lights:
             hit_l = active & si.valid & (si.area_light >= 0)
             le = LT.le_area(data.lights, si.area_light, si.ng, si.wo)
+            if flags.spectral:
+                from pbrt_tpu.core.spectrum import rgb_to_spectrum
+                le = rgb_to_spectrum(le)
             L = L + jnp.where(hit_l[:, None], beta * le, 0.0)
         active = active & si.valid
         if bounce == max_depth:
@@ -57,6 +64,9 @@ def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all",
         u_mix = sample_dim(spec, px, py, sample_idx, base + 0)
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
                               u_mix, flags.has_tex_slot)
+        if flags.spectral:
+            from pbrt_tpu.materials import lift_lobes
+            lobes = lift_lobes(lobes)
         u_sel = sample_dim(spec, px, py, sample_idx, base + 1)
         u_light = sample_2d(spec, px, py, sample_idx, base + 2)
 
@@ -74,6 +84,9 @@ def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all",
                                   data.world_center, data.world_radius)
                 wi_local = si.world_to_local(ls.wi)
                 f = B.bsdf_f(lobes, wo_local, wi_local, data.fourier if flags.has_fourier else None) * vm.absdot(ls.wi, si.ns)[:, None]
+                if flags.spectral:
+                    from pbrt_tpu.core.spectrum import rgb_to_spectrum
+                    ls = ls._replace(li=rgb_to_spectrum(ls.li))
                 ok = active & (ls.pdf > 0) & ~B.black(f) & ~B.black(ls.li)
                 so = si.spawn_origin(ls.wi)
                 to_l = ls.p_light - so
@@ -105,6 +118,9 @@ def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all",
         o = si.spawn_origin(wi_world)
         d = wi_world
 
+    if flags.spectral:
+        from pbrt_tpu.core.spectrum import spectrum_to_rgb
+        L = spectrum_to_rgb(L)
     if with_stats:
         return L, p_film, ray_w, cnt
     return L, p_film, ray_w

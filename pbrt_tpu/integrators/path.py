@@ -66,8 +66,12 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         rays, ray_w = generate_rays(cs.camera, CameraSamples(p_film, u_lens, u_time))
     o, d = rays.o, rays.d
 
-    L = jnp.zeros((n, 3), jnp.float32)
-    beta = jnp.ones((n, 3), jnp.float32)
+    # SampledSpectrum mode (flags.spectral, core/spectrum.py): the whole
+    # transport loop runs at C=60 channels; only the boundaries change
+    # (lobes/light lifts below + the film-side convert at return)
+    C = 60 if flags.spectral else 3
+    L = jnp.zeros((n, C), jnp.float32)
+    beta = jnp.ones((n, C), jnp.float32)
     active = jnp.ones((n,), bool)
     specular_bounce = jnp.ones((n,), bool)   # bounce 0 counts as "specular"
     prev_bsdf_pdf = jnp.zeros((n,), jnp.float32)
@@ -151,6 +155,9 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
             if flags.has_subsurface:
                 esc = esc & ~sss_pending
             le_inf = LT.le_escaped(data.lights, normalize(d))
+            if flags.spectral:
+                from pbrt_tpu.core.spectrum import rgb_to_spectrum
+                le_inf = rgb_to_spectrum(le_inf)
             if bounce == 0:
                 w = jnp.ones((n,), jnp.float32)
             else:
@@ -163,6 +170,9 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
             if flags.has_subsurface:
                 hit_l = hit_l & ~sss_pending
             le = LT.le_area(data.lights, si.area_light, si.ng, si.wo)
+            if flags.spectral:
+                from pbrt_tpu.core.spectrum import rgb_to_spectrum
+                le = rgb_to_spectrum(le)
             if bounce == 0:
                 w = jnp.ones((n,), jnp.float32)
             else:
@@ -180,6 +190,9 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         u_mix = sample_dim_(base + 0)
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
                               u_mix, flags.has_tex_slot, duv=si.duv)
+        if flags.spectral:
+            from pbrt_tpu.materials import lift_lobes
+            lobes = lift_lobes(lobes)
         if flags.has_subsurface:
             # exit points shade with the Sw adapter (SeparableBSSRDFAdapter,
             # tabulated_bssrdf.rs): hemispherically-averaged lambertian
@@ -300,6 +313,9 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
                                       time=ray_time)
         L = L + jnp.where((nee_live & ~occluded)[:, None], beta_nee * ld, 0.0)
 
+    if flags.spectral:
+        from pbrt_tpu.core.spectrum import spectrum_to_rgb
+        L = spectrum_to_rgb(L)
     if with_stats:
         return L, p_film, ray_w, cnt
     return L, p_film, ray_w

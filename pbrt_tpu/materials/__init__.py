@@ -310,6 +310,24 @@ def compute_lobes(mats: MaterialTable, tex: TextureTable, mat_id, uv, p,
                              misc[:, 2].astype(jnp.int32), -1))
 
 
+LIFT_FIELDS = ("kd", "kt_diff", "ks", "rd_blend", "kt_gloss",
+               "spec_r", "spec_t", "eta3", "k3")
+
+
+def lift_lobes(lb):
+    """RGB Lobes -> sampled-spectrum Lobes ([N,3] color fields widened to
+    [N,60] via the Smits-style lift, core/spectrum.py). Conductor eta/k are
+    lifted with the same smooth-metamer basis — the reference reads true
+    sampled Cu curves (metal.rs); here the lifted curves are the smooth
+    spectra whose CIE-integrated RGB matches the same data (documented
+    approximation). BSSRDF fields stay 3-channel (spectral+sss is gated
+    off at build)."""
+    from pbrt_tpu.core.spectrum import rgb_to_spectrum
+    return lb._replace(**{f: rgb_to_spectrum(getattr(lb, f),
+                                             reflectance=True)
+                          for f in LIFT_FIELDS})
+
+
 def material_families(decls):
     """Static lobe-family presence for the scene's material set
     -> (dift, glossy, glossy_t, oren, spec).

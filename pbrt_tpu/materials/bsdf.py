@@ -281,7 +281,7 @@ def _glossy_f(lb: Lobes, wo, wi):
     d = mf_d(lb.dist, wh, lb.rough_u, lb.rough_v)
     g = mf_g(lb.dist, wo, wi, lb.rough_u, lb.rough_v)
     cos_wh = dot(wi, wh)
-    f_diel = fresnel_dielectric(cos_wh, lb.eta)[..., None] * jnp.ones((1, 3))
+    f_diel = fresnel_dielectric(cos_wh, lb.eta)[..., None] * jnp.ones((1, lb.ks.shape[-1]))
     f_cond = fresnel_conductor(cos_wh, lb.eta3, lb.k3)
     F = jnp.where((lb.glossy_kind == GF_CONDUCTOR)[..., None], f_cond, f_diel)
     spec = lb.ks * F * (d * g / jnp.maximum(4.0 * co * ci, 1e-9))[..., None]
@@ -480,7 +480,7 @@ def bsdf_sample(lb: Lobes, wo, u_lobe, u2, ftab=None, fams=None):
         nz = vec3(jnp.zeros(n), jnp.zeros(n), jnp.where(cos_o > 0, 1.0, -1.0))
         ok_st, wi_st = refract(wo, nz, eta_t)
         f_cond = fresnel_conductor(cos_o, lb.eta3, lb.k3)
-        f_diel3 = Fr[..., None] * jnp.ones((1, 3))
+        f_diel3 = Fr[..., None] * jnp.ones((1, lb.spec_r.shape[-1]))
         Fspec = jnp.where((lb.spec_fresnel == SF_CONDUCTOR)[..., None], f_cond,
                           jnp.where((lb.spec_fresnel == SF_NOOP)[..., None], 1.0, f_diel3))
         wi_s = jnp.where(choose_r[..., None], wi_sr, wi_st)
@@ -496,7 +496,7 @@ def bsdf_sample(lb: Lobes, wo, u_lobe, u2, ftab=None, fams=None):
         choose_r = jnp.zeros(n, bool)
         has_st = jnp.zeros(n, bool)
         wi_s = wi_d
-        f_s = jnp.zeros(wo.shape, jnp.float32)
+        f_s = jnp.zeros_like(lb.spec_r)
         pdf_s = jnp.ones(n, jnp.float32)
         spec_valid = jnp.ones(n, bool)
 

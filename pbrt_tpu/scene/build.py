@@ -40,6 +40,16 @@ def _scalar(v):
     return str(v)
 
 
+def _param_bool(v):
+    """ParamSet bool: may arrive as [True], ["true"], "false", or a bool —
+    NOT via _scalar (bool("False") is True)."""
+    if isinstance(v, (list, tuple)):
+        v = v[0] if v else False
+    if isinstance(v, str):
+        return v.strip().lower() == "true"
+    return bool(v)
+
+
 def compile_textures(decls, cwd="."):
     X = max(len(decls), 1)
     kind = np.zeros(X, np.int32)
@@ -580,7 +590,12 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         use_pallas=use_pallas,
         has_alpha=bool(np.any(np.asarray(prim_alpha, np.int32) >= 0)),
         light_strategy=_scalar(desc.integrator_params.as_plain_dict().get(
-            "lightsamplestrategy", "power")))
+            "lightsamplestrategy", "power")),
+        # spectral mode: subsurface transport keeps its 3-channel diffusion
+        # profiles, so scenes with BSSRDFs fall back to RGB
+        spectral=_param_bool(desc.integrator_params.as_plain_dict().get(
+            "spectral", False)) and not has_subsurface
+        and not bool(fourier_tables))
 
     # spatial light-selection voxel grid (path.rs:314 lightsamplestrategy;
     # eager vectorized build, lights/distrib.py)

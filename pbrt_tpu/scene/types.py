@@ -119,6 +119,11 @@ class SceneFlags:
     # shared-prototype instancing (transformed_primitive.rs analog)
     n_instances: int = 0
     n_world_tris: int = 0        # tri-table rows covered by the world BVH
+    # SampledSpectrum render mode (core/src/spectrum/mod.rs:16-34 feature
+    # switch): colors widen 3 -> 60 bins at the material/light boundaries,
+    # film converts back (core/spectrum.py). Authored per scene via
+    # Integrator "path" "bool spectral" "true".
+    spectral: bool = False
     # static lobe-family presence (dift, glossy, glossy_t, oren, spec) —
     # materials/__init__.py material_families; bsdf code skips absent ones
     bsdf_fams: Tuple[bool, ...] = (True, True, True, True, True)
