@@ -387,6 +387,13 @@ def bsdf_pdf(lb: Lobes, wo, wi, ftab=None, fams=None):
         p_dif = jnp.where(has_kt, 0.5 * pd_refl, jnp.where(refl, pd_refl, 0.0))
     else:
         p_dif = jnp.where(refl, pd_refl, 0.0)
+    if ftab is not None:
+        # fourier lanes replace the diffuse slot's cosine density with the
+        # CDF sampler's exact density (fourier_bsdf.rs:124,173)
+        from pbrt_tpu.materials.fourier import pdf_fourier
+        four = lb.fourier_id >= 0
+        p_dif = jnp.where(four, pdf_fourier(ftab, lb.fourier_id, wo, wi),
+                          p_dif)
     pdf = w[..., 0] * p_dif
     if glossy:
         wh = normalize(jnp.where((vm.length_squared(wo + wi) > 1e-12)[..., None],
@@ -445,6 +452,16 @@ def bsdf_sample(lb: Lobes, wo, u_lobe, u2, ftab=None, fams=None):
                          vec3(wi_d[..., 0], wi_d[..., 1], -wi_d[..., 2]), wi_d)
     else:
         go_trans = jnp.zeros(n, bool)
+    if ftab is not None:
+        # fourier lanes ride the diffuse slot but draw wi from the table's
+        # CDF sampler (marginal-mu inversion + series-CDF azimuth); u_re is
+        # the slot-remapped uniform, reused as the azimuth sign flip
+        from pbrt_tpu.materials.fourier import sample_fourier_bsdf
+        four_l = lb.fourier_id >= 0
+        wi_four, _ = sample_fourier_bsdf(ftab, lb.fourier_id, wo, u2, u_re)
+        wi_d = jnp.where(four_l[..., None], wi_four, wi_d)
+    else:
+        four_l = jnp.zeros(n, bool)
 
     wo_up = jnp.where((cos_theta(wo) < 0.0)[..., None], -wo, wo)
     cos_o = cos_theta(wo)
@@ -518,7 +535,9 @@ def bsdf_sample(lb: Lobes, wo, u_lobe, u2, ftab=None, fams=None):
                                 jnp.where(is_gt, ok_t & ~same_hemisphere(wo, wi_t),
                                           jnp.ones(n, bool))))
     pdf = jnp.where(valid, pdf, 0.0)
-    is_trans = jnp.where(is_spec, ~choose_r & has_st, is_gt | (is_dif & go_trans))
+    is_trans = jnp.where(is_spec, ~choose_r & has_st,
+                         is_gt | (is_dif & go_trans)
+                         | (is_dif & four_l & ~same_hemisphere(wo, wi)))
     # eta^2 factor that cancels the transport scaling at RR time
     # (path.rs:264-276 eta_scale): entering *= eta^2, exiting *= 1/eta^2
     eta_rr = jnp.where(cos_o > 0,
