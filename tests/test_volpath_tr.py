@@ -62,3 +62,60 @@ def test_shadow_through_null_interface_attenuates():
     got = _center_lum(img_smoke)
     assert got > 0.1 * base, "null interface must not hard-occlude the light"
     np.testing.assert_allclose(got, want, rtol=0.12)
+
+
+def test_grid_tracking_unbounded_dense():
+    """r4 missing #3: the grid walk must run until escape/scatter like the
+    reference (media/src/grid.rs:160-213). A loose-majorant grid whose
+    expected majorant-step count (sigma_bar * t ~ 300) far exceeds the old
+    64-step budget must still track transmittance to the analytic value —
+    with the old cap, truncated lanes passed through un-attenuated and
+    overestimated Tr.
+    """
+    import jax
+    import jax.numpy as jnp
+    from pbrt_tpu.media import compile_media, transmittance
+    from pbrt_tpu.scene.paramset import ParamSet
+
+    nx = ny = nz = 4
+    dens = np.full(nx * ny * nz, 0.01, np.float32)
+    dens[-1] = 1.0  # one hot voxel -> majorant 100x the chord's density
+    ps = ParamSet()
+    ps.declare("string", "type", ['"heterogeneous"'])
+    ps.declare("float", "density", [str(v) for v in dens])
+    ps.declare("integer", "nx", [nx])
+    ps.declare("integer", "ny", [ny])
+    ps.declare("integer", "nz", [nz])
+    st = 300.0
+    ps.declare("rgb", "sigma_a", [st, st, st])
+    ps.declare("rgb", "sigma_s", [0, 0, 0])
+    med, name_to_id, any_grid = compile_media(
+        {"g": ("heterogeneous", ps, np.eye(4, dtype=np.float32))})
+    assert any_grid
+
+    # chord along +x through the low-density region (far from the hot voxel)
+    N = 4096
+    o = jnp.broadcast_to(jnp.asarray([0.0, 0.15, 0.15], jnp.float32), (N, 3))
+    d = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), (N, 3))
+    t_far = jnp.ones((N,), jnp.float32)
+    mid = jnp.zeros((N,), jnp.int32)
+    ka = jnp.arange(N, dtype=jnp.uint32)
+    kb = jnp.full((N,), 7, jnp.uint32)
+    tr = jax.jit(lambda: transmittance(med, mid, o, d, t_far, ka, kb,
+                                       any_grid=True))()
+    got = float(np.asarray(tr)[:, 0].mean())
+    # analytic expectation: exp(-st * integral of the trilinear field along
+    # the chord). Quadrature uses the deterministic density lookup — a
+    # different code path from the stochastic tracking loop under test —
+    # and captures the boundary interpolation ramp (density lerps to 0
+    # half a voxel outside the grid).
+    from pbrt_tpu.media import _grid_density
+    ts = jnp.linspace(0.0, 1.0, 4097)[:-1] + 0.5 / 4096
+    pts = o[0][None, :] + d[0][None, :] * ts[:, None]
+    dens_line = np.asarray(_grid_density(
+        med, jnp.zeros(ts.shape[0], jnp.int32), pts))
+    expect = float(np.exp(-st * dens_line.mean() * 1.0))
+    # the walk needs ~ sigma_bar * t = st * max_d * t majorant steps
+    exp_steps = st * 1.0 * 1.0
+    assert exp_steps > 2 * 64, "test no longer exercises the old cap"
+    assert abs(got - expect) < 0.1 * expect, (got, expect)
