@@ -52,18 +52,31 @@ def _voxel_counts(lo: np.ndarray, hi: np.ndarray, max_voxels: int) -> np.ndarray
 
 N_SAMPLES = 128  # spatial.rs:118
 
+# eager-table budget: the reference builds voxels LAZILY behind a hash
+# table (spatial.rs:35-47) so a 64-wide grid costs only what rendering
+# visits; the eager TPU table pays V*L floats + V*S*L build evals up
+# front, so the default resolution adapts: full 64 (spatial.rs:64) until
+# the table would exceed the budget, then shrinks cubically
+TABLE_BUDGET = 1 << 22
 
-def build_spatial_distrib(scene_data, flags, max_voxels: int = 16):
+
+def default_spatial_voxels(n_lights: int) -> int:
+    side = int(round((TABLE_BUDGET / max(n_lights, 1)) ** (1.0 / 3.0)))
+    return max(8, min(64, side))
+
+
+def build_spatial_distrib(scene_data, flags, max_voxels: int = None):
     """Eagerly compute the whole voxel grid (one jitted wavefront).
 
-    max_voxels: resolution of the widest axis. The reference defaults to 64
-    (spatial.rs:64); a dense 64-wide grid is fine for few lights but we
-    default to 16 to bound the table at V*L floats — per-voxel quality is
-    identical, only spatial granularity differs (tunable per scene).
+    max_voxels: resolution of the widest axis (reference default 64,
+    spatial.rs:64); None picks default_spatial_voxels(n_lights). Scenes can
+    override via Integrator "..." "integer spatialvoxels" k.
     """
     from pbrt_tpu import lights as LT
 
     n_lights = flags.n_lights
+    if max_voxels is None:
+        max_voxels = default_spatial_voxels(n_lights)
     wc = np.asarray(scene_data.world_center)
     wr = float(np.asarray(scene_data.world_radius))
     lo = wc - wr

@@ -367,6 +367,13 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
 
     # ---- textures & materials ----
     tex = compile_textures(desc.textures, cwd)
+    # static texture-kind set for eval_texture code gating (flags.tex_kinds)
+    tex_kinds = tuple(sorted({TEX_KIND_IDS.get(d.kind, 0)
+                              for d in desc.textures} |
+                             ({TEX_KIND_IDS["checkerboard"] + 1}
+                              if any(d.kind == "checkerboard"
+                                     and d.params.find_one_int("dimension", 2) == 3
+                                     for d in desc.textures) else set())))
     mats, has_tex_slot, fourier_tables, has_subsurface = compile_materials(
         desc.materials, cwd=cwd)
     from pbrt_tpu.materials.fourier import build_fourier_table
@@ -586,6 +593,7 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         n_media=len(desc.media),
         any_grid_media=any_grid_media and len(desc.media) > 0,
         has_subsurface=has_subsurface,
+        tex_kinds=tex_kinds,
         has_fourier=bool(fourier_tables),
         use_pallas=use_pallas,
         has_alpha=bool(np.any(np.asarray(prim_alpha, np.int32) >= 0)),
@@ -601,7 +609,10 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     # eager vectorized build, lights/distrib.py)
     if flags.light_strategy == "spatial" and n_lights > 0:
         from pbrt_tpu.lights.distrib import build_spatial_distrib
-        data = data._replace(light_spatial=build_spatial_distrib(data, flags))
+        sv = desc.integrator_params.as_plain_dict().get("spatialvoxels")
+        sv = int(sv[0]) if sv else None
+        data = data._replace(
+            light_spatial=build_spatial_distrib(data, flags, max_voxels=sv))
 
     # ---- specs ----
     res_params = desc.film_params

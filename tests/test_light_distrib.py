@@ -62,3 +62,46 @@ def test_spatial_table_shapes():
     p0 = np.asarray(spatial_pdf(sd, p, jnp.asarray([0])))[0]
     p1 = np.asarray(spatial_pdf(sd, p, jnp.asarray([1])))[0]
     assert p0 > p1
+
+
+def test_spatial_beats_power_many_lights():
+    """VERDICT r4 #10: on a many-light scene the spatial voxel strategy
+    (per-voxel Li/pdf-weighted selection, spatial.rs:96-165) must beat
+    power sampling, which degenerates to uniform when all lights share one
+    power. 49 point lights over a plane, camera viewing one corner: only
+    nearby lights matter, so voxel-local selection cuts NEE variance.
+    MSE is measured against a converged power-strategy render (same
+    unbiased estimator, high spp)."""
+    import numpy as np
+    from pbrt_tpu.scene import load_scene_string
+    from pbrt_tpu.render import render
+
+    def scene(strategy, spp):
+        lights = "\n".join(
+            f'LightSource "point" "point from" [{(i % 7) * 3 - 9} 2 '
+            f'{(i // 7) * 3 - 9}] "rgb I" [4 4 4]'
+            for i in range(49))
+        return f"""
+LookAt -8 4 -8  -9 0 -9  0 1 0
+Camera "perspective" "float fov" 35
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Sampler "02sequence" "integer pixelsamples" {spp}
+Integrator "path" "integer maxdepth" 2
+  "string lightsamplestrategy" "{strategy}" "integer spatialvoxels" 24
+WorldBegin
+{lights}
+AttributeBegin
+  Material "matte" "rgb Kd" [0.7 0.7 0.7]
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [-12 0 -12  12 0 -12  12 0 12  -12 0 12]
+AttributeEnd
+WorldEnd
+"""
+
+    ref = np.asarray(render(load_scene_string(scene("power", 64))))
+    img_pow = np.asarray(render(load_scene_string(scene("power", 4))))
+    img_spa = np.asarray(render(load_scene_string(scene("spatial", 4))))
+    mse_pow = float(((img_pow - ref) ** 2).mean())
+    mse_spa = float(((img_spa - ref) ** 2).mean())
+    # require a real margin, not a coin flip
+    assert mse_spa < 0.75 * mse_pow, (mse_spa, mse_pow)
