@@ -633,7 +633,7 @@ def _kernel_inst(meta_ref, imat_ref, iroot_ref,  # noqa: C901
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "trs"))
-def intersect_instances(ib: InstanceBVH, o, d, t_max, time=None,
+def _intersect_instances_impl(ib: InstanceBVH, o, d, t_max, time=None,
                         interpret=False, trs=False):
     """Closest instanced-triangle hit. Returns (TriHit with GLOBAL tri ids,
     inst [N] i32, -1 for miss)."""
@@ -690,3 +690,15 @@ def intersect_instances(ib: InstanceBVH, o, d, t_max, time=None,
     th = TriHit(t.reshape(-1)[:N], tri_id,
                 b1.reshape(-1)[:N], b2.reshape(-1)[:N])
     return th, inst.reshape(-1)[:N]
+
+
+def intersect_instances(ibvh, o, d, t_max, time=None, interpret=False,
+                        trs=False):
+    """Gradient-detached wrapper: the instance kernel has no JVP rule and
+    geometry is a constant of the AD tape (scene/intersect.py note)."""
+    import jax as _jax
+    o, d, t_max = _jax.lax.stop_gradient((o, d, t_max))
+    if time is not None:
+        time = _jax.lax.stop_gradient(time)
+    return _intersect_instances_impl(ibvh, o, d, t_max, time=time,
+                                     interpret=interpret, trs=trs)

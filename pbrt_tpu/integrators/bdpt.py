@@ -230,7 +230,8 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode,
             break
 
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
-                              u_mix, flags.has_tex_slot)
+                              u_mix, flags.has_tex_slot,
+                              tex_kinds=flags.tex_kinds)
         u_lobe = dim1(base + 4)
         u_dir = dim2(base + 5)
         wo_local = si.world_to_local(si.wo)

@@ -63,7 +63,8 @@ def li_direct(cs, px, py, sample_idx, max_depth: int = 5, strategy: str = "all",
 
         u_mix = sample_dim(spec, px, py, sample_idx, base + 0)
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
-                              u_mix, flags.has_tex_slot)
+                              u_mix, flags.has_tex_slot,
+                              tex_kinds=flags.tex_kinds)
         if flags.spectral:
             from pbrt_tpu.materials import lift_lobes
             lobes = lift_lobes(lobes)

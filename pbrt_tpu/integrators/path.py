@@ -109,8 +109,61 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
     si = intersect(data, flags, o, normalize(d), t_max, time=ray_time)
     diff_rays = rays
 
+    SSS_CHAIN_K = 4   # probe chord hits considered (tabulated_bssrdf.rs:326)
+
     for bounce in range(max_depth + 1):
         base = bounce_base(bounce)
+        if flags.has_subsurface:
+            # ---- probe intersection CHAIN (r4 missing #4): the reference
+            # accumulates ALL probe-chord hits and picks uniformly
+            # (tabulated_bssrdf.rs:326-362); first-hit peeling darkens thin
+            # geometry. Wavefront form: peel up to K-1 further hits along
+            # the chord and reservoir-pick one uniformly (replace the
+            # running choice with prob 1/n at the n-th valid hit), then
+            # weight by the count (pdf_sp /= nFound). ----
+            if SSS_CHAIN_K > 1 and bounce > 0:
+                probe_live = sss_pending & si.valid \
+                    & (si.material == sss_entry_mat)
+                count = probe_live.astype(jnp.int32)
+                chosen = si
+                eps0 = 1e-4 * (1.0 + jnp.abs(si.t))
+                o_cur = o + (si.t + eps0)[:, None] * d
+                rem = jnp.maximum(t_max - si.t - eps0, 0.0)
+                for kk in range(1, SSS_CHAIN_K):
+                    live_k = sss_pending & (rem > 0.0)
+                    if flags.use_pallas:
+                        from pbrt_tpu.accel.pallas_traverse import \
+                            far_miss_rays
+                        fo, fd = far_miss_rays(data.pbvh, n)
+                        o_k = jnp.where(live_k[:, None], o_cur, fo)
+                        d_k = jnp.where(live_k[:, None], d, fd)
+                    else:
+                        o_k, d_k = o_cur, d
+                    si_k = intersect(data, flags, o_k, d_k,
+                                     jnp.where(live_k, rem, 0.0),
+                                     time=ray_time)
+                    ok_k = live_k & si_k.valid \
+                        & (si_k.material == sss_entry_mat)
+                    count = count + ok_k.astype(jnp.int32)
+                    u_res = sample_dim_(base + 11 + kk)
+                    take = ok_k & (u_res * count.astype(jnp.float32)
+                                   < 1.0)
+                    chosen = jax.tree.map(
+                        lambda c, new: jnp.where(
+                            take.reshape((n,) + (1,) * (new.ndim - 1)),
+                            new, c), chosen, si_k)
+                    eps_k = 1e-4 * (1.0 + jnp.abs(si_k.t))
+                    step_k = jnp.where(ok_k, si_k.t + eps_k, rem)
+                    o_cur = o_cur + step_k[:, None] * d
+                    rem = jnp.maximum(rem - step_k, 0.0)
+                si = jax.tree.map(
+                    lambda c, old: jnp.where(
+                        sss_pending.reshape((n,) + (1,) * (old.ndim - 1)),
+                        c, old), chosen, si)
+                # uniform pick over count hits: pdf_sp gains 1/count
+                beta = jnp.where((sss_pending & (count > 0))[:, None],
+                                 beta * count.astype(jnp.float32)[:, None],
+                                 beta)
         if flags.has_subsurface:
             # exit interaction for pending probes: Sp(dist)/pdf_sp with the
             # tabulated profile and the reference's 3-axis x 3-channel MIS
@@ -189,7 +242,8 @@ def li_path(cs, px, py, sample_idx, max_depth: int = 5, rr_threshold: float = 1.
         # ---- material stage ----
         u_mix = sample_dim_(base + 0)
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
-                              u_mix, flags.has_tex_slot, duv=si.duv)
+                              u_mix, flags.has_tex_slot, duv=si.duv,
+                              tex_kinds=flags.tex_kinds)
         if flags.spectral:
             from pbrt_tpu.materials import lift_lobes
             lobes = lift_lobes(lobes)

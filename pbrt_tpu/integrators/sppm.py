@@ -134,7 +134,8 @@ def _sppm_iteration(cs, max_depth, n_photons_iter, px, py, it, radius,
 
         u_mix = sample_dim(spec, px, py, sidx, base + 0)
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
-                              u_mix, flags.has_tex_slot)
+                              u_mix, flags.has_tex_slot,
+                              tex_kinds=flags.tex_kinds)
         # NEE at every bounce (sppm accumulates direct light separately)
         u_sel = sample_dim(spec, px, py, sidx, base + 1)
         u_light = sample_2d(spec, px, py, sidx, base + 2)
@@ -219,7 +220,8 @@ def _sppm_iteration(cs, max_depth, n_photons_iter, px, py, it, radius,
         ph_active = ph_active & si.valid
         u_mix = hdim(100 + bounce * 16)
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
-                              u_mix, flags.has_tex_slot)
+                              u_mix, flags.has_tex_slot,
+                              tex_kinds=flags.tex_kinds)
 
         if bounce > 0:
             # deposit at non-specular hits into nearby visible points

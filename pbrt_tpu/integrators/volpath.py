@@ -181,7 +181,8 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5,
             p_phase = MD.hg_p(dot(-dn, ls.wi), g)
             u_mix = sample_dim(spec, px, py, sample_idx, base + 0)
             lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
-                                  u_mix, flags.has_tex_slot)
+                                  u_mix, flags.has_tex_slot,
+                              tex_kinds=flags.tex_kinds)
             wi_local = si.world_to_local(ls.wi)
             wo_local = si.world_to_local(si.wo)
             f_surf = B.bsdf_f(lobes, wo_local, wi_local, data.fourier if flags.has_fourier else None) * vm.absdot(ls.wi, si.ns)[:, None]
@@ -211,7 +212,8 @@ def li_volpath(cs, px, py, sample_idx, max_depth: int = 5,
         else:
             u_mix = sample_dim(spec, px, py, sample_idx, base + 0)
             lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
-                                  u_mix, flags.has_tex_slot)
+                                  u_mix, flags.has_tex_slot,
+                              tex_kinds=flags.tex_kinds)
 
         # ---- direction sampling: phase (medium) / bsdf (surface) ----
         u_lobe = sample_dim(spec, px, py, sample_idx, base + 4)

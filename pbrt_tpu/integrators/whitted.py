@@ -59,7 +59,8 @@ def li_whitted(cs, px, py, sample_idx, max_depth: int = 5,
 
         u_mix = sample_dim(spec, px, py, sample_idx, base + 0)
         lobes = compute_lobes(data.mats, data.tex, si.material, si.uv, si.p,
-                              u_mix, flags.has_tex_slot)
+                              u_mix, flags.has_tex_slot,
+                              tex_kinds=flags.tex_kinds)
         wo_local = si.world_to_local(si.wo)
 
         # direct lighting from EVERY light (whitted.rs: sample all)

@@ -199,7 +199,8 @@ def _remap(rough, do_remap):
 
 
 def compute_lobes(mats: MaterialTable, tex: TextureTable, mat_id, uv, p,
-                  u_mix, has_tex_slot=None, duv=None) -> B.Lobes:
+                  u_mix, has_tex_slot=None, duv=None,
+                  tex_kinds=None) -> B.Lobes:
     """Wavefront material stage: ids -> Lobes. u_mix: [N] random for the
     stochastic mix-material selection (one-sample MC estimator of the
     reference's lobe-scaled mix, materials/src/mix.rs)."""
@@ -228,7 +229,7 @@ def compute_lobes(mats: MaterialTable, tex: TextureTable, mat_id, uv, p,
         cv = constv[:, s]
         if has_tex_slot is not None and not has_tex_slot[s]:
             return cv
-        tv = eval_texture(tex, cid, uv, p, duv=duv)
+        tv = eval_texture(tex, cid, uv, p, duv=duv, kinds=tex_kinds)
         return jnp.where((cid >= 0)[:, None], tv, cv)
 
     Kd = slot(0)

@@ -106,7 +106,10 @@ def refract(wi, n, eta_ratio):
     sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     sin2_t = eta_ratio * eta_ratio * sin2_i
     ok = sin2_t < 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # floor for reverse-mode: sin2_t depends on eta, and sqrt(0) at the
+    # exact TIR boundary has an infinite tangent (lane is masked forward
+    # via ok, but the cotangent forms before the mask)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 1e-12))
     wt = eta_ratio[..., None] * (-wi) + (eta_ratio * cos_i - cos_t)[..., None] * n
     return ok, wt
 
@@ -191,7 +194,11 @@ def mf_d(dist, wh, ax, ay):
 
 
 def mf_lambda(dist, w, ax, ay):
-    abs_tan = jnp.sqrt(jnp.maximum(_tan2_theta(w), 0.0))
+    # sqrt floor keeps reverse-mode finite at normal incidence: sqrt(0) has
+    # an infinite tangent, and the final isnan/where guard cannot scrub a
+    # NaN that already formed in the cotangent (the double-where problem —
+    # this poisoned the ROUGHNESS-slot gradient of every glossy material)
+    abs_tan = jnp.sqrt(jnp.maximum(_tan2_theta(w), 1e-18))
     c2p = _cos2_phi(w)
     alpha = jnp.sqrt(jnp.maximum(c2p * ax * ax + (1.0 - c2p) * ay * ay, 1e-12))
     # GGX
@@ -233,7 +240,10 @@ def mf_sample_wh(dist, wo, u, ax, ay):
     tan2_b = -alpha2 * log_s
     cos_b = 1.0 / jnp.sqrt(1.0 + tan2_b)
     cos_h = jnp.where(dist == DIST_GGX, cos_g, cos_b)
-    sin_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_h * cos_h))
+    # sqrt floor: at u0=0 cos_h is exactly 1 and sqrt(0)'s infinite tangent
+    # poisons the roughness gradient (cos_h depends on alpha); the 1e-18
+    # floor perturbs wh by ~1e-9 and keeps reverse-mode finite
+    sin_h = jnp.sqrt(jnp.maximum(1e-18, 1.0 - cos_h * cos_h))
     wh = vec3(sin_h * jnp.cos(phi_g), sin_h * jnp.sin(phi_g), cos_h)
     wh = jnp.where(same_hemisphere(wo, wh)[..., None], wh, -wh)
     return wh

@@ -98,7 +98,12 @@ ALPHA_ROUNDS = 3   # re-trace rounds past alpha-masked hits per query
 
 def _closest_tris(scene, flags, o, d, t_best, anyhit_mask=None):
     if flags.use_pallas:
+        # geometry is a constant of the AD tape (pbrt-style detached
+        # discontinuities, diff/__init__.py): the Pallas kernel has no JVP
+        # rule, so detach its ray inputs explicitly — bounce directions
+        # carry tangents through the sampled-lobe chain otherwise
         from pbrt_tpu.accel.pallas_traverse import intersect_bvh_pallas
+        o, d, t_best = jax.lax.stop_gradient((o, d, t_best))
         return intersect_bvh_pallas(scene.pbvh, o, d, t_best,
                                     anyhit_mask=anyhit_mask)
     if flags.use_bvh and flags.accel == "kdtree":
@@ -138,7 +143,7 @@ def _hit_valid(th):
     return (th.slot >= 0) if th.slot is not None else (th.tri >= 0)
 
 
-def _alpha_of_hit(scene, th, o, d, shadow=False):
+def _alpha_of_hit(scene, th, o, d, shadow=False, tex_kinds=None):
     """Evaluate a hit triangle's alpha-mask texture ([N]; 1.0 = opaque).
 
     shadow may be a python bool or a per-lane [N] bool array (merged
@@ -155,7 +160,7 @@ def _alpha_of_hit(scene, th, o, d, shadow=False):
     tuv = attr[:, AT_UV:AT_UV + 6].reshape(-1, 3, 2)
     uv = b0[:, None] * tuv[:, 0] + b1[:, None] * tuv[:, 1] + b2[:, None] * tuv[:, 2]
     p = o + th.t[:, None] * d
-    a = eval_texture(scene.tex, aid, uv, p)[:, 0]
+    a = eval_texture(scene.tex, aid, uv, p, kinds=tex_kinds)[:, 0]
     return jnp.where(_hit_valid(th) & (aid >= 0), a, 1.0)
 
 
@@ -181,7 +186,7 @@ def _closest_tris_alpha(scene, flags, o, d, t_best, shadow=False):
     t_off = jnp.zeros_like(th.t)
     oo = o
     for _ in range(ALPHA_ROUNDS):
-        a = _alpha_of_hit(scene, th, oo, d, shadow)
+        a = _alpha_of_hit(scene, th, oo, d, shadow, tex_kinds=flags.tex_kinds)
         masked = _hit_valid(th) & (a <= 0.0)
         eps = 1e-4 * (1.0 + jnp.abs(th.t))
         step = th.t + eps
@@ -192,7 +197,7 @@ def _closest_tris_alpha(scene, flags, o, d, t_best, shadow=False):
         th = merge(masked, th2, th)
         oo, t_off = oo2, t_off2
     # final masked survivors count as misses; map t back to the original ray
-    a = _alpha_of_hit(scene, th, oo, d, shadow)
+    a = _alpha_of_hit(scene, th, oo, d, shadow, tex_kinds=flags.tex_kinds)
     still = _hit_valid(th) & (a <= 0.0)
     return TriHit(jnp.where(still, jnp.asarray(t_best, jnp.float32), th.t + t_off),
                   jnp.where(still, -1, th.tri), th.b1, th.b2,
@@ -223,7 +228,12 @@ def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max,
     time: optional [N] ray times in [0,1] for animated instance transforms
     (static scenes ignore it)."""
     N = o.shape[0]
-    t_best = jnp.asarray(t_max, jnp.float32)
+    # geometry is a constant of the AD tape (pbrt-style detached
+    # discontinuities, diff/__init__.py): traversal while-loops (CPU) and
+    # Pallas kernels (TPU) are not reverse-differentiable, and bounce
+    # directions carry parameter tangents through the sampled-lobe chain
+    o, d = jax.lax.stop_gradient((o, d))
+    t_best = jax.lax.stop_gradient(jnp.asarray(t_max, jnp.float32))
 
     # triangles
     slot = None
@@ -268,6 +278,9 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
     scene.rs intersect + VisibilityTester::unoccluded.
     """
     N = o_nx.shape[0]
+    # detached geometry (see intersect())
+    o_nx, d_nx, tmax_nx = jax.lax.stop_gradient((o_nx, d_nx, tmax_nx))
+    o_sh, d_sh, dist_sh = jax.lax.stop_gradient((o_sh, d_sh, dist_sh))
     if flags.use_pallas and flags.n_tris > 0:
         from pbrt_tpu.accel.pallas_traverse import far_miss_rays
         fo, fd = far_miss_rays(scene.pbvh, N)
@@ -302,6 +315,7 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
             # — [N,3] column slices are ~1-2 ms layout conversions each.
             from pbrt_tpu.accel.pallas_traverse import (_ray_sort_key_cols,
                                                         _traverse_cols)
+            o2, d2, tm2 = jax.lax.stop_gradient((o2, d2, tm2))
             o2t, d2t = o2.T, d2.T
             ox, oy, oz = o2t[0], o2t[1], o2t[2]
             dx, dy, dz = d2t[0], d2t[1], d2t[2]
@@ -500,6 +514,7 @@ def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id,
 
 def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max, time=None):
     """Any-hit (shadow rays). Returns [N] bool occluded."""
+    o, d, t_max = jax.lax.stop_gradient((o, d, jnp.asarray(t_max, jnp.float32)))
     occluded = jnp.zeros(o.shape[:1], bool)
     if flags.n_tris > 0:
         if flags.has_alpha:
@@ -511,6 +526,7 @@ def intersect_p(scene: SceneData, flags: SceneFlags, o, d, t_max, time=None):
                                      shadow=True)
         elif flags.use_pallas:
             from pbrt_tpu.accel.pallas_traverse import intersect_bvh_pallas
+            o, d, t_max = jax.lax.stop_gradient((o, d, t_max))
             th = intersect_bvh_pallas(scene.pbvh, o, d, t_max, any_hit=True)
         elif flags.use_bvh and flags.accel == "kdtree":
             th = intersect_kdtree(scene.kd, scene.tri_p0, scene.tri_p1,

@@ -124,6 +124,10 @@ class SceneFlags:
     # film converts back (core/spectrum.py). Authored per scene via
     # Integrator "path" "bool spectral" "true".
     spectral: bool = False
+    # static texture-kind presence (textures analog of bsdf_fams): the
+    # kind ids present in the scene's texture table; eval_texture emits
+    # code only for these. None/empty -> all kinds.
+    tex_kinds: tuple = None
     # static lobe-family presence (dift, glossy, glossy_t, oren, spec) —
     # materials/__init__.py material_families; bsdf code skips absent ones
     bsdf_fams: Tuple[bool, ...] = (True, True, True, True, True)

@@ -151,97 +151,126 @@ def _map_p3(w2t, p):
 # ---------------------------------------------------------------------------
 
 def eval_texture(tex: TextureTable, tex_id, uv, p, depth: int = MAX_TEX_DEPTH,
-                 duv=None):
-    """[N,3] value of per-lane texture ids (-1 -> zeros)."""
+                 duv=None, kinds=None):
+    """[N,3] value of per-lane texture ids (-1 -> zeros).
+
+    kinds: STATIC tuple of texture-kind ids present in the scene
+    (SceneFlags.tex_kinds) — the texture analog of the bsdf_fams lobe
+    gating. Absent kinds emit no code, which matters doubly here because
+    the child recursion would otherwise instantiate 2^depth copies of
+    every kind's eval (incl. the mip/EWA image machinery) in the graph —
+    a measured multi-minute XLA:CPU compile bomb on textured scenes.
+    None = all kinds (back-compat)."""
+    all_kinds = tuple(range(14))
+    kset = frozenset(all_kinds if kinds is None else kinds)
+
+    def has(*ks):
+        return any(k in kset for k in ks)
+
     tid = jnp.maximum(tex_id, 0)
     kind = tex.kind[tid]
     params = tex.params[tid]
     w2t = tex.w2t[tid]
     const_rgb = params[:, 0:3]
 
-    if depth <= 0:
-        return const_rgb
+    if depth <= 0 or not has(*[k for k in kset if k != T_CONSTANT]):
+        return jnp.where((tex_id < 0)[:, None], 0.0, const_rgb)
 
-    child = tex.child[tid]
-    # child fallbacks: -1 means "use packed constant color"
-    c1 = jnp.where((child[:, 0] >= 0)[:, None],
-                   eval_texture(tex, child[:, 0], uv, p, depth - 1, duv), params[:, 0:3])
-    c2 = jnp.where((child[:, 1] >= 0)[:, None],
-                   eval_texture(tex, child[:, 1], uv, p, depth - 1, duv), params[:, 3:6])
+    needs_children = has(T_SCALE, T_MIX, T_CHECKER2D, T_CHECKER3D, T_DOTS)
+    if needs_children:
+        child = tex.child[tid]
+        # child fallbacks: -1 means "use packed constant color"
+        c1 = jnp.where((child[:, 0] >= 0)[:, None],
+                       eval_texture(tex, child[:, 0], uv, p, depth - 1, duv,
+                                    kinds=kinds), params[:, 0:3])
+        c2 = jnp.where((child[:, 1] >= 0)[:, None],
+                       eval_texture(tex, child[:, 1], uv, p, depth - 1, duv,
+                                    kinds=kinds), params[:, 3:6])
 
-    st = _map_st(params, w2t, uv, p)
-    p3 = _map_p3(w2t, p)
+    st = _map_st(params, w2t, uv, p) if has(T_SCALE, T_MIX, T_BILERP, T_UV,
+                                            T_CHECKER2D, T_DOTS,
+                                            T_IMAGEMAP) else None
+    p3 = _map_p3(w2t, p) if has(T_CHECKER3D, T_FBM, T_WRINKLED, T_WINDY,
+                                T_MARBLE) else None
 
     out = const_rgb  # T_CONSTANT
-    out = jnp.where((kind == T_SCALE)[:, None], c1 * c2, out)
-    amt = params[:, 11:12]
-    # mix amount may be a texture (child slot pattern: amount in aux via c2?)
-    out = jnp.where((kind == T_MIX)[:, None],
-                    (1.0 - amt) * c1 + amt * c2, out)
+    if has(T_SCALE):
+        out = jnp.where((kind == T_SCALE)[:, None], c1 * c2, out)
+    if has(T_MIX):
+        amt = params[:, 11:12]
+        out = jnp.where((kind == T_MIX)[:, None],
+                        (1.0 - amt) * c1 + amt * c2, out)
     # bilerp: 4 corner values v00/v01/v10/v11 packed in params[0:3],[3:6] and
     # child slots for the other two? round-1: corners in params only
-    v00 = params[:, 0:3]
-    v01 = params[:, 3:6]
-    v10 = params[:, 13:16]
-    v11m = params[:, 11]  # grayscale 4th corner fallback
-    v11 = jnp.stack([v11m, v11m, v11m], -1)
-    su, tv = st[:, 0:1], st[:, 1:2]
-    bil = (1 - su) * (1 - tv) * v00 + (1 - su) * tv * v01 + su * (1 - tv) * v10 + su * tv * v11
-    out = jnp.where((kind == T_BILERP)[:, None], bil, out)
-    # uv debug texture
-    uvc = jnp.stack([st[:, 0] - jnp.floor(st[:, 0]), st[:, 1] - jnp.floor(st[:, 1]),
-                     jnp.zeros_like(st[:, 0])], -1)
-    out = jnp.where((kind == T_UV)[:, None], uvc, out)
-    # checkerboard 2D
-    check2 = (jnp.floor(st[:, 0]) + jnp.floor(st[:, 1])) % 2.0
-    out = jnp.where((kind == T_CHECKER2D)[:, None],
-                    jnp.where((check2 == 0)[:, None], c1, c2), out)
-    # checkerboard 3D
-    check3 = (jnp.floor(p3[:, 0]) + jnp.floor(p3[:, 1]) + jnp.floor(p3[:, 2])) % 2.0
-    out = jnp.where((kind == T_CHECKER3D)[:, None],
-                    jnp.where((check3 == 0)[:, None], c1, c2), out)
-    # polka dots (textures/src/dots.rs): one random dot per integer cell
-    scell = jnp.floor(st[:, 0] + 0.5).astype(jnp.int32)
-    tcell = jnp.floor(st[:, 1] + 0.5).astype(jnp.int32)
-    h1 = u32_to_float(hash3(scell.astype(jnp.uint32), tcell.astype(jnp.uint32), jnp.uint32(1)))
-    h2 = u32_to_float(hash3(scell.astype(jnp.uint32), tcell.astype(jnp.uint32), jnp.uint32(2)))
-    h3 = u32_to_float(hash3(scell.astype(jnp.uint32), tcell.astype(jnp.uint32), jnp.uint32(3)))
-    has_dot = h1 < 0.5
-    radius = 0.35
-    center_s = scell + (-0.5 + radius) + (1.0 - 2 * radius) * h2
-    center_t = tcell + (-0.5 + radius) + (1.0 - 2 * radius) * h3
-    ds = st[:, 0] - center_s
-    dt = st[:, 1] - center_t
-    inside = has_dot & (ds * ds + dt * dt < radius * radius)
-    out = jnp.where((kind == T_DOTS)[:, None],
-                    jnp.where(inside[:, None], c1, c2), out)
-    # noise family
+    if has(T_BILERP):
+        v00 = params[:, 0:3]
+        v01 = params[:, 3:6]
+        v10 = params[:, 13:16]
+        v11m = params[:, 11]  # grayscale 4th corner fallback
+        v11 = jnp.stack([v11m, v11m, v11m], -1)
+        su, tv = st[:, 0:1], st[:, 1:2]
+        bil = (1 - su) * (1 - tv) * v00 + (1 - su) * tv * v01             + su * (1 - tv) * v10 + su * tv * v11
+        out = jnp.where((kind == T_BILERP)[:, None], bil, out)
+    if has(T_UV):
+        uvc = jnp.stack([st[:, 0] - jnp.floor(st[:, 0]),
+                         st[:, 1] - jnp.floor(st[:, 1]),
+                         jnp.zeros_like(st[:, 0])], -1)
+        out = jnp.where((kind == T_UV)[:, None], uvc, out)
+    if has(T_CHECKER2D):
+        check2 = (jnp.floor(st[:, 0]) + jnp.floor(st[:, 1])) % 2.0
+        out = jnp.where((kind == T_CHECKER2D)[:, None],
+                        jnp.where((check2 == 0)[:, None], c1, c2), out)
+    if has(T_CHECKER3D):
+        check3 = (jnp.floor(p3[:, 0]) + jnp.floor(p3[:, 1])
+                  + jnp.floor(p3[:, 2])) % 2.0
+        out = jnp.where((kind == T_CHECKER3D)[:, None],
+                        jnp.where((check3 == 0)[:, None], c1, c2), out)
+    if has(T_DOTS):
+        # polka dots (textures/src/dots.rs): one random dot per integer cell
+        scell = jnp.floor(st[:, 0] + 0.5).astype(jnp.int32)
+        tcell = jnp.floor(st[:, 1] + 0.5).astype(jnp.int32)
+        h1 = u32_to_float(hash3(scell.astype(jnp.uint32), tcell.astype(jnp.uint32), jnp.uint32(1)))
+        h2 = u32_to_float(hash3(scell.astype(jnp.uint32), tcell.astype(jnp.uint32), jnp.uint32(2)))
+        h3 = u32_to_float(hash3(scell.astype(jnp.uint32), tcell.astype(jnp.uint32), jnp.uint32(3)))
+        has_dot = h1 < 0.5
+        radius = 0.35
+        center_s = scell + (-0.5 + radius) + (1.0 - 2 * radius) * h2
+        center_t = tcell + (-0.5 + radius) + (1.0 - 2 * radius) * h3
+        ds = st[:, 0] - center_s
+        dt = st[:, 1] - center_t
+        inside = has_dot & (ds * ds + dt * dt < radius * radius)
+        out = jnp.where((kind == T_DOTS)[:, None],
+                        jnp.where(inside[:, None], c1, c2), out)
     octaves = 6
-    omega = params[:, 12]
-    omega = jnp.where(omega == 0.0, 0.5, omega)
-    fb = fbm(p3, 0.5, octaves)[..., None]
-    out = jnp.where((kind == T_FBM)[:, None], jnp.broadcast_to(fb, out.shape), out)
-    tb = turbulence(p3, 0.5, octaves)[..., None]
-    out = jnp.where((kind == T_WRINKLED)[:, None], jnp.broadcast_to(tb, out.shape), out)
-    # windy: low-frequency strength * high-frequency waves
-    ws = fbm(0.1 * p3, 0.5, 3)
-    wh = fbm(p3, 0.5, 6)
-    wind = (jnp.abs(ws) * wh)[..., None]
-    out = jnp.where((kind == T_WINDY)[:, None], jnp.broadcast_to(wind, out.shape), out)
-    # marble (textures/src/marble.rs spline through marble colors)
-    variation = params[:, 11]
-    variation = jnp.where(variation == 0.0, 0.2, variation)
-    scale_m = jnp.where(params[:, 13] == 0.0, 1.0, params[:, 13])
-    marb = noise3(p3 * scale_m[..., None])
-    tmarb = jnp.clip(
-        0.5 + 0.5 * jnp.sin(scale_m * p3[:, 1]
-                            + variation * turbulence(p3 * scale_m[..., None], 0.5, octaves)),
-        0.0, 1.0)
-    marble_c = _marble_spline(tmarb)
-    out = jnp.where((kind == T_MARBLE)[:, None], marble_c, out)
+    if has(T_FBM):
+        fb = fbm(p3, 0.5, octaves)[..., None]
+        out = jnp.where((kind == T_FBM)[:, None],
+                        jnp.broadcast_to(fb, out.shape), out)
+    if has(T_WRINKLED):
+        tb = turbulence(p3, 0.5, octaves)[..., None]
+        out = jnp.where((kind == T_WRINKLED)[:, None],
+                        jnp.broadcast_to(tb, out.shape), out)
+    if has(T_WINDY):
+        # windy: low-frequency strength * high-frequency waves
+        ws = fbm(0.1 * p3, 0.5, 3)
+        wh = fbm(p3, 0.5, 6)
+        wind = (jnp.abs(ws) * wh)[..., None]
+        out = jnp.where((kind == T_WINDY)[:, None],
+                        jnp.broadcast_to(wind, out.shape), out)
+    if has(T_MARBLE):
+        # marble (textures/src/marble.rs spline through marble colors)
+        variation = params[:, 11]
+        variation = jnp.where(variation == 0.0, 0.2, variation)
+        scale_m = jnp.where(params[:, 13] == 0.0, 1.0, params[:, 13])
+        tmarb = jnp.clip(
+            0.5 + 0.5 * jnp.sin(scale_m * p3[:, 1]
+                                + variation * turbulence(p3 * scale_m[..., None], 0.5, octaves)),
+            0.0, 1.0)
+        marble_c = _marble_spline(tmarb)
+        out = jnp.where((kind == T_MARBLE)[:, None], marble_c, out)
     # imagemap: anisotropic mip filtering when screen-space differentials
     # are tracked (EWA re-design, textures/image.py), bilinear L0 otherwise
-    if tex.atlas.shape[0] > 0:
+    if tex.atlas.shape[0] > 0 and has(T_IMAGEMAP):
         from pbrt_tpu.textures.image import sample_atlas, sample_atlas_aniso
         if duv is None:
             img = sample_atlas(tex, tid, st)
