@@ -67,7 +67,7 @@ LookAt 0 0 5  0 0 0  0 1 0
 Camera "orthographic" "float screenwindow" [-{HALF_W} {HALF_W} -{HALF_W} {HALF_W}]
 Film "image" "integer xresolution" [{RES}] "integer yresolution" [{RES}]
 Sampler "02sequence" "integer pixelsamples" 8
-Integrator "path" "integer maxdepth" 8
+Integrator "path" "integer maxdepth" 6
 WorldBegin
 LightSource "infinite" "rgb L" [1 1 1]
 AttributeBegin

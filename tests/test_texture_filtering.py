@@ -135,7 +135,7 @@ LookAt 0 0 0  0 0 1  0 1 0
 Camera "perspective" "float fov" 40
 Film "image" "integer xresolution" [24] "integer yresolution" [24]
 Sampler "02sequence" "integer pixelsamples" 4
-Integrator "path" "integer maxdepth" 3
+Integrator "path" "integer maxdepth" 2
 WorldBegin
 LightSource "infinite" "rgb L" [1 1 1]
 AttributeBegin
