@@ -142,12 +142,12 @@ def read_exr(path: str) -> np.ndarray:
     w, h = x1 - x0 + 1, y1 - y0 + 1
     comp = attrs["compression"][1][0]
     # scanlines per chunk by compression scheme (image_io.rs reads any EXR
-    # via the exr crate; here: NONE/RLE/ZIPS/ZIP — PIZ and the lossy
-    # schemes are not emitted by pbrt-family tooling)
-    lines_per_block = {0: 1, 1: 1, 2: 1, 3: 16}.get(comp)
+    # via the exr crate; here NONE/RLE/ZIPS/ZIP plus PIZ and PXR24 via
+    # io/exr_piz.py — B44/B44A/DWA remain unsupported)
+    lines_per_block = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}.get(comp)
     if lines_per_block is None:
         raise ValueError(f"unsupported EXR compression {comp} "
-                         "(supported: none/RLE/ZIPS/ZIP)")
+                         "(supported: none/RLE/ZIPS/ZIP/PIZ/PXR24)")
     # channel list
     chs = []
     cdata = attrs["channels"][1]
@@ -172,6 +172,27 @@ def read_exr(path: str) -> np.ndarray:
         raw_size = line_bytes * nlines
         payload = data[pos:pos + size]
         pos += size
+        if comp == 4 and size < raw_size:
+            # PIZ: per-channel u16 planes (io/exr_piz.py)
+            from pbrt_tpu.io.exr_piz import piz_uncompress
+            pchans = [(w, nlines, 1 if ct == 1 else 2) for _, ct in chs]
+            planes = piz_uncompress(payload, pchans)
+            for (cname, ctype), pl in zip(chs, planes):
+                if ctype == 1:
+                    vals = pl.reshape(nlines, w).view(np.float16)                         .astype(np.float32)
+                else:
+                    v32 = pl.reshape(nlines, w * 2).view(np.uint32)                         .reshape(nlines, w)
+                    vals = v32.view(np.float32) if ctype == 2                         else v32.astype(np.float32)
+                if cname in cmap:
+                    out[by - y0:by - y0 + nlines, :, cmap[cname]] = vals
+            continue
+        if comp == 5 and size < raw_size:
+            from pbrt_tpu.io.exr_piz import pxr24_uncompress
+            planes = pxr24_uncompress(payload, chs, w, nlines)
+            for (cname, ctype), pl in zip(chs, planes):
+                if cname in cmap:
+                    out[by - y0:by - y0 + nlines, :, cmap[cname]] =                         pl.astype(np.float32)
+            continue
         if comp == 0 or size >= raw_size:
             raw = payload  # stored raw when compression didn't shrink it
         elif comp in (2, 3):
