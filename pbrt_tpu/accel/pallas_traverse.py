@@ -1001,11 +1001,11 @@ def _kernel_block_all(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
 def _kernel_block_queue(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
                         seed_ref,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,
-                        t_out, tri_out, b1_out, b2_out, it_out,
+                        t_out, tri_out, it_out,
                         stack_ref, scal_ref,
                         rox_s, roy_s, roz_s, rix_s, riy_s, riz_s,
                         oxi_s, oyi_s, ozi_s, kx_s, ky_s, kz_s,
-                        sx_s, sy_s, sz_s, ts_s, tri_s, b1_s, b2_s,
+                        sx_s, sy_s, sz_s, ts_s, tri_s,
                         *, any_hit: bool, rows: int, pops: int, nblocks: int,
                         groups: int):
     """Persistent-worker mega-packet traversal: G co-resident block walks.
@@ -1024,7 +1024,13 @@ def _kernel_block_queue(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
     running best-hit), [G*rows, 128] each, sliced statically per group.
     scal_ref (SMEM) holds per-group scalars [G, 8]:
       0 sp  1 cur_blk  2 start_it  3 ovf  4 blk_any  5..7 swap_axis
-    and scal_ref[groups, 0] is the queue head."""
+    and scal_ref[groups, 0] is the queue head.
+
+    Barycentrics are NOT computed here (r5 leaf slim): the winning slot's
+    b1/b2 are recomputed per lane at SI-assembly from the already-gathered
+    vertex attributes (scene/intersect.py kernel_bary) with the same
+    naive-product shear math, cutting ~4 vector ops per triangle test and
+    two co-sorted columns from the merged-pair dispatch."""
     f32 = jnp.float32
     tiny = f32(1e-20)
     Q_SP, Q_CUR, Q_IT0, Q_OVF, Q_ANY, Q_SW = 0, 1, 2, 3, 4, 5
@@ -1088,28 +1094,22 @@ def _kernel_block_queue(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
             | (~pos & (t_sc < f32(1e-4) * det) & (t_sc > t_best * det))
         hit = same & (det != 0.0) & t_ok
         inv_det = 1.0 / jnp.where(det == 0.0, tiny, det)
-        return hit, t_sc * inv_det, e1 * inv_det, e2 * inv_det
+        return hit, t_sc * inv_det
 
     def leaf_blast(g, st, tb, cnt, blk, blk_any_col):
         """8-triangle leaf block test against group g's rays."""
         z16 = jnp.zeros((rows, 16), f32)
         t_best = ts_s[gsl(g), :]
         tri_b = tri_s[gsl(g), :]
-        b1_b = b1_s[gsl(g), :]
-        b2_b = b2_s[gsl(g), :]
         cnt_col = cnt + jnp.zeros((rows, LANES), jnp.int32)
         for j in range(LEAF_TRIS):
-            hit, t, b1, b2 = tri_test(st, tb[:, j * 16:(j + 1) * 16] + z16,
-                                      t_best)
+            hit, t = tri_test(st, tb[:, j * 16:(j + 1) * 16] + z16,
+                              t_best)
             ok = hit & (cnt_col > j)
             t_best = jnp.where(ok, jnp.where(blk_any_col > 0, 0.0, t), t_best)
             tri_b = jnp.where(ok, blk * LEAF_TRIS + j, tri_b)
-            b1_b = jnp.where(ok, b1, b1_b)
-            b2_b = jnp.where(ok, b2, b2_b)
         ts_s[gsl(g), :] = t_best
         tri_s[gsl(g), :] = tri_b
-        b1_s[gsl(g), :] = b1_b
-        b2_s[gsl(g), :] = b2_b
 
     def body(carry):
         it = carry[0]
@@ -1162,8 +1162,6 @@ def _kernel_block_queue(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
                 sz_s[gsl(g), :] = sz
                 ts_s[gsl(g), :] = tm_ref[sl, :]
                 tri_s[gsl(g), :] = jnp.full((rows, LANES), -1, jnp.int32)
-                b1_s[gsl(g), :] = jnp.zeros((rows, LANES), f32)
-                b2_s[gsl(g), :] = jnp.zeros((rows, LANES), f32)
                 half = rows * LANES // 2
                 swx = jnp.sum(jnp.where(dx < 0.0, 1, 0))
                 swy = jnp.sum(jnp.where(dy < 0.0, 1, 0))
@@ -1194,23 +1192,17 @@ def _kernel_block_queue(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
                     z16s = jnp.zeros((rows, 16), f32)
                     t_best = ts_s[gsl(g), :]
                     tri_b = tri_s[gsl(g), :]
-                    b1_b = b1_s[gsl(g), :]
-                    b2_b = b2_s[gsl(g), :]
                     scnt_col = scnt + jnp.zeros((rows, LANES), jnp.int32)
                     sb = seed_ref[0:1, :]
                     for j in range(LEAF_TRIS):
-                        hit, t, b1, b2 = tri_test(
+                        hit, t = tri_test(
                             st, sb[:, j * 16:(j + 1) * 16] + z16s, t_best)
                         ok = hit & (scnt_col > j)
                         t_best = jnp.where(
                             ok, jnp.where(blk_any_col > 0, 0.0, t), t_best)
                         tri_b = jnp.where(ok, sslot_ref[j], tri_b)
-                        b1_b = jnp.where(ok, b1, b1_b)
-                        b2_b = jnp.where(ok, b2, b2_b)
                     ts_s[gsl(g), :] = t_best
                     tri_s[gsl(g), :] = tri_b
-                    b1_s[gsl(g), :] = b1_b
-                    b2_s[gsl(g), :] = b2_b
 
         # ---- preload phase: group ray state -> registers, once per
         # iteration (scratch reads inside slab/tri_test would otherwise
@@ -1324,8 +1316,6 @@ def _kernel_block_queue(meta_ref, anyhit_ref, sslot_ref, nodes_ref, tris_ref,
                 sl = pl.ds(cur * rows, rows)
                 t_out[sl, :] = ts_s[gsl(g), :]
                 tri_out[sl, :] = tri_s[gsl(g), :]
-                b1_out[sl, :] = b1_s[gsl(g), :]
-                b2_out[sl, :] = b2_s[gsl(g), :]
                 it_out[cur] = (it + 1 - scal_ref[g, Q_IT0]) \
                     | (scal_ref[g, Q_OVF] << 24)
                 scal_ref[g, Q_CUR] = -1
@@ -1719,11 +1709,11 @@ def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
                                  groups=G)
         fscr = lambda: pltpu.VMEM((G * rows, LANES), jnp.float32)
         iscr = lambda: pltpu.VMEM((G * rows, LANES), jnp.int32)
-        t, tri, b1, b2, iters = pl.pallas_call(
+        t, tri, iters = pl.pallas_call(
             kern,
-            out_shape=out_shapes,
+            out_shape=[out_shapes[0], out_shapes[1], out_shapes[4]],
             in_specs=[sm, sm, sm, vm, vm, vm] + [vm] * 7,
-            out_specs=[vm] * 4 + [sm],
+            out_specs=[vm, vm, sm],
             scratch_shapes=[pltpu.SMEM((G * STACKB,), jnp.int32),
                             pltpu.SMEM((G + 1, 8), jnp.int32),
                             fscr(), fscr(), fscr(),      # rox/roy/roz
@@ -1731,14 +1721,14 @@ def _traverse_cols(pb: PallasBVH, ox, oy, oz, dx, dy, dz, tm,
                             fscr(), fscr(), fscr(),      # o*inv
                             iscr(), iscr(), iscr(),      # kx/ky/kz
                             fscr(), fscr(), fscr(),      # sx/sy/sz
-                            fscr(), iscr(), fscr(), fscr()],  # ts/tri/b1/b2
+                            fscr(), iscr()],             # ts/tri
             interpret=interpret,
         )(pb.metas, ah_blocks, pb.seed_slots, pb.nodes, pb.tris, pb.seed,
           *[comp(c) for c in cols])
         slot = tri.reshape(-1)[:N]
         tri_id = jnp.where(slot >= 0, pb.order[jnp.maximum(slot, 0)], -1)
-        th = TriHit(t.reshape(-1)[:N], tri_id,
-                    b1.reshape(-1)[:N], b2.reshape(-1)[:N], slot)
+        # b1/b2 deferred: recomputed at SI assembly (kernel_bary)
+        th = TriHit(t.reshape(-1)[:N], tri_id, None, None, slot)
         if with_iters:
             return th, iters
         return th

@@ -119,7 +119,7 @@ def _cos_or_one(nvec, w):
 
 
 def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode,
-          sampler_fn=None, time=None):
+          sampler_fn=None, time=None, med0=None):
     """Random walk storing a VertexSoA of up to max_depth vertices.
 
     mode: "camera" | "light" (radiance vs importance transport; the only
@@ -149,10 +149,15 @@ def _walk(cs, o, d, beta0, pdf_dir0, max_depth, px, py, sidx, dim_base, mode,
                   zeros((n, D), jnp.int32) - 1, zeros((n, D)),
                   zeros((n, D), bool), zeros((n, D), jnp.int32) - 1)
 
-    # ambient medium per lane: both subpaths start in the camera medium
-    # (the reference threads each endpoint's medium interface; scenes whose
-    # lights sit inside a different medium diverge — documented scope cut)
-    cur_med = jnp.broadcast_to(jnp.asarray(data.camera_medium, jnp.int32), (n,))
+    # ambient medium per lane: the camera subpath starts in the camera
+    # medium, the light subpath in the sampled light's declared-scope
+    # medium (med0; bdpt/mod.rs:611-633 threads each endpoint's medium
+    # interface through the walks)
+    if med0 is None:
+        cur_med = jnp.broadcast_to(jnp.asarray(data.camera_medium,
+                                               jnp.int32), (n,))
+    else:
+        cur_med = jnp.broadcast_to(med0, (n,)).astype(jnp.int32)
     pxu, pyu, su = px.astype(U32), py.astype(U32), sidx.astype(U32)
 
     beta = beta0
@@ -441,12 +446,16 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
     pdf0 = jnp.maximum(le.pdf_pos * pmf, 1e-12)
     beta_l0 = le.le * (vm.absdot(le.n_light, normalize(le.d))
                        / jnp.maximum(pdf0 * le.pdf_dir, 1e-12))[:, None]
+    light_med = data.lights.medium[jnp.maximum(light_idx, 0)] \
+        if data.lights.medium is not None else None
     light_v, _ = _walk(cs, le.o, normalize(le.d), beta_l0, le.pdf_dir, D - 1,
                        px, py, sidx, lbase + 5, "light", sampler_fn=sampler_fn,
-                       time=time)
+                       time=time, med0=light_med)
 
     n_cam = _length(cam_v)
     n_light = _length(light_v)
+    # hash streams for connection-visibility transmittance walks
+    conn_hashes = (px.astype(U32), py.astype(U32), sidx.astype(U32))
 
     # device counters (utils/stats.py; the reference declares bdpt stats
     # in integrators/src/bdpt/mod.rs — zero-radiance paths etc.)
@@ -513,7 +522,8 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
                                           _wo_of(cam_v, cam_o, kt), ls.wi)
         g_cos = _cos_or_one(cam_v.ns[:, kt], ls.wi)
         occ, tr1 = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt], ls.p_light,
-                             ls.wi, medium=cam_v.medium[:, kt], time=time)
+                             ls.wi, medium=cam_v.medium[:, kt], time=time,
+                             hashes=conn_hashes, keys=0x7000 + 16 * t)
         contrib1 = cam_v.beta[:, kt] * f_c * ls.li * tr1 * (g_cos / jnp.maximum(ls.pdf * pmf1, 1e-12))[:, None]
         cnt["shadow_rays"] = cnt["shadow_rays"] + jnp.sum(
             cam_ok.astype(jnp.float32))
@@ -536,7 +546,9 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
             G = _cos_or_one(cam_v.ns[:, kt], wi) * _cos_or_one(light_v.ns[:, ks], wi) / dist2
             occ2, tr2 = _occluded(cs, cam_v.p[:, kt], cam_v.ng[:, kt],
                                   light_v.p[:, ks], wi,
-                                  medium=cam_v.medium[:, kt], time=time)
+                                  medium=cam_v.medium[:, kt], time=time,
+                                  hashes=conn_hashes,
+                                  keys=0x7800 + 64 * t + 8 * s)
             contrib = cam_v.beta[:, kt] * f_cam * f_li * light_v.beta[:, ks] * tr2 * G[:, None]
             ok2 = cam_ok & l_ok & ~B.black(contrib) & ~occ2 & st_mask(s, t, n)
             w2 = _mis_weight_general(cs, cam_v, light_v, kt, ks, light_idx,
@@ -563,7 +575,8 @@ def _bdpt_sample(cs, px, py, sidx, D, strategies=("s0", "s1", "gen", "t1"),
             beta_cam = imp * cos_cam / dist2
             G_l = _cos_or_one(light_v.ns[:, ks], wi)
             occ3, tr3 = _occluded(cs, p_v, light_v.ng[:, ks], cam_o, wi,
-                                  medium=light_v.medium[:, ks], time=time)
+                                  medium=light_v.medium[:, ks], time=time,
+                                  hashes=conn_hashes, keys=0xA000 + 8 * s)
             contrib = light_v.beta[:, ks] * f_l * tr3 * (beta_cam * G_l)[:, None]
             okc = ok & on_film & ~B.black(contrib) & ~occ3 & st_mask(s, 1, n)
             we_dir = camera_pdf_we_dir(cs, cam_o, p_v)
@@ -601,15 +614,27 @@ def _wo_of(v: VertexSoA, origin, k, origin0=None):
     return normalize(prev - v.p[:, k])
 
 
-def _occluded(cs, p_from, ng_from, p_to, w, medium=None, time=None):
-    """(occluded [N] bool, tr [N,3]) for a connection segment. tr is the
-    transmittance through the from-vertex's ambient medium (scene.rs
-    intersect_tr on connections; single-segment scope — null-interface
-    crossings on connection rays are not walked here)."""
+def _occluded(cs, p_from, ng_from, p_to, w, medium=None, time=None,
+              hashes=None, keys=0):
+    """(occluded [N] bool, tr [N,3]) for a connection segment.
+
+    Media scenes walk the full multi-segment intersect_tr (scene.rs:106 /
+    visibility_tester.rs tr): null-material medium interfaces on the
+    connection are CROSSED with per-segment transmittance, so connections
+    through e.g. a medium-filled shell survive (they used to be treated
+    as occluded — r4 scope cut). Vacuum scenes keep the cheap binary
+    intersect_p."""
     o = vm.offset_ray_origin(p_from, jnp.full_like(p_from, 1e-4), ng_from, w)
     to = p_to - o
     dist = vm.length(to)
     sd = to / jnp.maximum(dist, 1e-12)[:, None]
+    if cs.flags.n_media > 0 and hashes is not None:
+        from pbrt_tpu.integrators.volpath import intersect_tr
+        med = medium if medium is not None else jnp.broadcast_to(
+            jnp.asarray(cs.data.camera_medium, jnp.int32), o.shape[:1])
+        tr, occ = intersect_tr(cs.data, cs.flags, med, o, sd, dist,
+                               keys, hashes)
+        return occ, tr
     occ = intersect_p(cs.data, cs.flags, o, sd, dist * (1 - 1e-3), time=time)
     if medium is not None and cs.flags.n_media > 0:
         zk = jnp.zeros(o.shape[:1], U32)

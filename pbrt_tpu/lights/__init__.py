@@ -67,6 +67,10 @@ class LightTable(NamedTuple):
     # goniometric.rs): per-light 64x64 RGB atlas, id in params[8]
     # ([1,1,1,3] placeholder when the scene has none)
     limg: jnp.ndarray      # [K,64,64,3]
+    # declared-scope medium id per light (-1 vacuum): the BDPT light
+    # subpath starts its walk in THIS medium (bdpt/mod.rs:611-633 threads
+    # each endpoint's medium interface through the walks)
+    medium: jnp.ndarray = None   # [L] int32
 
     @property
     def n_lights(self):

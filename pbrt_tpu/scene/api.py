@@ -69,6 +69,8 @@ class LightRecord:
     l2w: np.ndarray
     w2l: np.ndarray
     shape_index: int = -1           # area lights: index into shapes
+    medium: str = ""                # ambient medium at declaration (the
+                                    # emitter's MediumInterface outside)
 
 
 @dataclasses.dataclass
@@ -315,7 +317,9 @@ class Api:
     # -- lights ----------------------------------------------------------
     def light_source(self, kind, ps):
         l2w = self.ctm.t[0]
-        self.scene.lights.append(LightRecord(kind, ps, l2w.m.copy(), l2w.m_inv.copy()))
+        self.scene.lights.append(LightRecord(kind, ps, l2w.m.copy(),
+                                             l2w.m_inv.copy(),
+                                             medium=self.gs.medium_outside))
 
     def area_light_source(self, kind, ps):
         self.gs.area_light = (kind, ps)

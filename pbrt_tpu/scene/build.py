@@ -494,7 +494,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
                     params[8] = -1
         else:
             L = np.ones(3, np.float32)
-        lights_rows.append((kid, L, params, lr.l2w, lr.w2l))
+        lmid = med_ids.get(getattr(lr, "medium", ""), -1)
+        lights_rows.append((kid, L, params, lr.l2w, lr.w2l, lmid))
 
     Lc = max(len(lights_rows), 1)
     l_kind = np.zeros(Lc, np.int32)
@@ -503,12 +504,14 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
     l_params[:, 8] = -1
     l_l2w = np.tile(np.eye(4, dtype=np.float32), (Lc, 1, 1))
     l_w2l = np.tile(np.eye(4, dtype=np.float32), (Lc, 1, 1))
-    for i, (k, L, p, m, mi) in enumerate(lights_rows):
+    l_med = np.full(Lc, -1, np.int32)
+    for i, (k, L, p, m, mi, lmid) in enumerate(lights_rows):
         l_kind[i] = k
         l_L[i] = L
         l_params[i] = p
         l_l2w[i] = m
         l_w2l[i] = mi
+        l_med[i] = lmid
     n_lights = len(lights_rows)
 
     tri_cdf = np.concatenate(tri_cdf_all) if tri_cdf_all else np.zeros(1, np.float32)
@@ -542,7 +545,8 @@ def build_scene(desc: SceneDescription, options=None, cwd=".", seed=0) -> Compil
         jnp.asarray(env_image),
         jnp.asarray(ltri[:, 0]), jnp.asarray(ltri[:, 1]), jnp.asarray(ltri[:, 2]),
         jnp.asarray(np.stack(light_images).astype(np.float32) if light_images
-                    else np.zeros((1, 1, 1, 3), np.float32)))
+                    else np.zeros((1, 1, 1, 3), np.float32)),
+        medium=jnp.asarray(l_med))
 
     # light selection distribution (power strategy,
     # core/src/light_distrib/mod.rs power)

@@ -96,6 +96,45 @@ def _quadric_eval_all(scene: SceneData, qi, o, d, t_max):
 ALPHA_ROUNDS = 3   # re-trace rounds past alpha-masked hits per query
 
 
+def kernel_bary(o, d, p0, p1, p2):
+    """Recompute the Pallas kernel's barycentrics per lane (r5 leaf slim).
+
+    Replicates the kernel's tri_test math EXACTLY — naive shear products,
+    same tiny/epsilon constants (pallas_traverse.py tri_test) — so the
+    b1/b2 the kernel used to emit are reproduced for its winning slot
+    from the already-gathered vertex attributes. NOT the same as
+    shapes/triangle.py intersect_tri, which upgrades the edge functions
+    with diff_of_products."""
+    tiny = jnp.float32(1e-20)
+    ax, ay, az = jnp.abs(d[:, 0]), jnp.abs(d[:, 1]), jnp.abs(d[:, 2])
+    kz = jnp.where((ax >= ay) & (ax >= az), 0, jnp.where(ay >= az, 1, 2))
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+
+    def pick(v, k):
+        return jnp.take_along_axis(v, k[:, None], axis=-1)[:, 0]
+
+    dpz = pick(d, kz)
+    sz = 1.0 / jnp.where(dpz == 0.0, tiny, dpz)
+    sx = -pick(d, kx) * sz
+    sy = -pick(d, ky) * sz
+
+    def shear(p):
+        t = p - o
+        return (pick(t, kx) + sx * pick(t, kz),
+                pick(t, ky) + sy * pick(t, kz),
+                pick(t, kz) * sz)
+
+    x0, y0, z0 = shear(p0)
+    x1, y1, z1 = shear(p1)
+    x2, y2, z2 = shear(p2)
+    e1 = x2 * y0 - y2 * x0
+    e2 = x0 * y1 - y0 * x1
+    det = (x1 * y2 - y1 * x2) + e1 + e2
+    inv_det = 1.0 / jnp.where(det == 0.0, tiny, det)
+    return e1 * inv_det, e2 * inv_det
+
+
 def _closest_tris(scene, flags, o, d, t_best, anyhit_mask=None):
     if flags.use_pallas:
         # geometry is a constant of the AD tape (pbrt-style detached
@@ -155,7 +194,12 @@ def _alpha_of_hit(scene, th, o, d, shadow=False, tex_kinds=None):
     else:
         aid = attr[:, AT_SALPHA] if shadow else attr[:, AT_ALPHA]
     aid = aid.astype(jnp.int32)
-    b1, b2 = th.b1, th.b2
+    if th.b1 is None:
+        b1, b2 = kernel_bary(o, d, attr[:, AT_P0:AT_P0 + 3],
+                             attr[:, AT_P1:AT_P1 + 3],
+                             attr[:, AT_P2:AT_P2 + 3])
+    else:
+        b1, b2 = th.b1, th.b2
     b0 = 1.0 - b1 - b2
     tuv = attr[:, AT_UV:AT_UV + 6].reshape(-1, 3, 2)
     uv = b0[:, None] * tuv[:, 0] + b1[:, None] * tuv[:, 1] + b2[:, None] * tuv[:, 2]
@@ -178,10 +222,10 @@ def _closest_tris_alpha(scene, flags, o, d, t_best, shadow=False):
         slot = None
         if a.slot is not None and b.slot is not None:
             slot = jnp.where(masked, a.slot, b.slot)
+        b1 = None if a.b1 is None else jnp.where(masked, a.b1, b.b1)
+        b2 = None if a.b2 is None else jnp.where(masked, a.b2, b.b2)
         return TriHit(jnp.where(masked, a.t, b.t),
-                      jnp.where(masked, a.tri, b.tri),
-                      jnp.where(masked, a.b1, b.b1),
-                      jnp.where(masked, a.b2, b.b2), slot)
+                      jnp.where(masked, a.tri, b.tri), b1, b2, slot)
 
     t_off = jnp.zeros_like(th.t)
     oo = o
@@ -240,6 +284,12 @@ def intersect(scene: SceneData, flags: SceneFlags, o, d, t_max,
     if flags.n_tris > 0:
         th = _closest_tris_alpha(scene, flags, o, d, t_best)
         tri_t, tri_id, b1, b2 = th.t, th.tri, th.b1, th.b2
+        if b1 is None and flags.n_instances > 0:
+            # instance merging needs materialized barycentrics
+            attr = _hit_attr(scene, th)
+            b1, b2 = kernel_bary(o, d, attr[:, AT_P0:AT_P0 + 3],
+                                 attr[:, AT_P1:AT_P1 + 3],
+                                 attr[:, AT_P2:AT_P2 + 3])
         if flags.n_instances == 0:
             slot = th.slot
     else:
@@ -331,11 +381,18 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
                  is_sh.astype(jnp.int32), lane), dimension=0, num_keys=1)
             ths = _traverse_cols(scene.pbvh, oxs, oys, ozs, dxs, dys, dzs,
                                  tms, anyhit_mask=ahs > 0)
-            # unsort by a second co-sort keyed on the original lane id
+            # unsort by a second co-sort keyed on the original lane id;
+            # b1/b2 are deferred on the queue-kernel path (two fewer
+            # columns through the sort network)
             slot_s = ths.slot if ths.slot is not None else ths.tri
-            (_, t_u, b1_u, b2_u, slot_u) = jax.lax.sort(
-                (lanes, ths.t, ths.b1, ths.b2, slot_s),
-                dimension=0, num_keys=1)
+            if ths.b1 is None:
+                (_, t_u, slot_u) = jax.lax.sort(
+                    (lanes, ths.t, slot_s), dimension=0, num_keys=1)
+                b1_u = b2_u = None
+            else:
+                (_, t_u, b1_u, b2_u, slot_u) = jax.lax.sort(
+                    (lanes, ths.t, ths.b1, ths.b2, slot_s),
+                    dimension=0, num_keys=1)
             if ths.slot is not None:
                 # tri ids stay unresolved (-1): this branch is gated to
                 # no-instance no-alpha scenes, where assembly is slot-keyed
@@ -351,6 +408,11 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
                                    [jnp.zeros((N,), bool),
                                     jnp.ones((N,), bool)]))
         tri_t, tri_id, b1, b2 = th.t, th.tri, th.b1, th.b2
+        if b1 is None and flags.n_instances > 0:
+            attr = _hit_attr(scene, th)
+            b1, b2 = kernel_bary(o2, d2, attr[:, AT_P0:AT_P0 + 3],
+                                 attr[:, AT_P1:AT_P1 + 3],
+                                 attr[:, AT_P2:AT_P2 + 3])
         tri_hit = _hit_valid(th)
         slot = th.slot if flags.n_instances == 0 else None
     else:
@@ -375,7 +437,9 @@ def intersect_pair(scene: SceneData, flags: SceneFlags,
 
     occluded = active_sh & (tri_hit[N:] | (q_id[N:] >= 0))
     si = _assemble_si(scene, flags, o_nx, d_nx, tmax_nx,
-                      tri_t[:N], tri_id[:N], b1[:N], b2[:N],
+                      tri_t[:N], tri_id[:N],
+                      None if b1 is None else b1[:N],
+                      None if b2 is None else b2[:N],
                       q_t[:N], q_id[:N], inst=inst, time=time,
                       slot=None if slot is None else slot[:N])
     return si, occluded
@@ -399,6 +463,12 @@ def _assemble_si(scene, flags, o, d, t_max, tri_t, tri_id, b1, b2, q_t, q_id,
     t = jnp.where(use_quad, q_t, tri_t)
 
     # --- assemble SurfaceInteraction ---
+    if b1 is None:
+        # r5 leaf slim: the queue kernel defers barycentrics; reproduce
+        # its values from the gathered vertices (kernel_bary docstring)
+        b1, b2 = kernel_bary(o, d, attr[:, AT_P0:AT_P0 + 3],
+                             attr[:, AT_P1:AT_P1 + 3],
+                             attr[:, AT_P2:AT_P2 + 3])
     b0 = 1.0 - b1 - b2
     tp0 = attr[:, AT_P0:AT_P0 + 3]
     tp1 = attr[:, AT_P1:AT_P1 + 3]

@@ -203,3 +203,49 @@ def test_bdpt_matches_volpath_in_fog():
     rel = abs(b.mean() - v.mean()) / v.mean()
     assert rel < 0.08, (f"bdpt fog mean off by {rel:.3f} "
                         f"(volpath {v.mean():.4f} bdpt {b.mean():.4f})")
+
+
+def test_bdpt_light_inside_medium_matches_volpath():
+    """r4 missing #5: BDPT light-subpath endpoints inside a medium. A point
+    light INSIDE an absorbing shell: the light walk starts in the light's
+    declared-scope medium (bdpt/mod.rs:611-633) and connection visibility
+    walks null interfaces with transmittance (_occluded -> intersect_tr).
+    Before r5 this scene rendered BLACK (connections through the shell
+    counted as occluded). The band is intentionally wide: bdpt still sits
+    ~40% under volpath here (vacuum scenes agree to ~2%, so the residual
+    is medium-specific — suspected MIS interplay between the s=1 and
+    splat strategies when the light walk is attenuation-decimated;
+    tracked as a known gap)."""
+    def scene(integrator_line, spp):
+        return f"""
+LookAt 0 0 6  0 0 0  0 1 0
+Camera "perspective" "float fov" 40
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Sampler "02sequence" "integer pixelsamples" {spp}
+{integrator_line}
+WorldBegin
+MakeNamedMedium "murk" "string type" "homogeneous"
+  "rgb sigma_a" [0.8 0.8 0.8] "rgb sigma_s" [0 0 0]
+AttributeBegin
+  MediumInterface "" "murk"
+  LightSource "point" "point from" [0 0 0] "rgb I" [30 30 30]
+AttributeEnd
+AttributeBegin
+  Material ""
+  MediumInterface "murk" ""
+  Shape "sphere" "float radius" 1
+AttributeEnd
+AttributeBegin
+  Material "matte" "rgb Kd" [0.6 0.6 0.6]
+  Translate 0 -2.2 0
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [-8 0 -8  8 0 -8  8 0 8  -8 0 8]
+AttributeEnd
+WorldEnd
+"""
+    import numpy as np
+    ref = float(np.asarray(render(load_scene_string(
+        scene('Integrator "volpath" "integer maxdepth" 4', 32)))).mean())
+    got = float(np.asarray(render(load_scene_string(
+        scene('Integrator "bdpt" "integer maxdepth" 4', 32)))).mean())
+    assert 0.45 * ref < got < 1.2 * ref, (got, ref)

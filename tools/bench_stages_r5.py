@@ -108,9 +108,9 @@ def main():
     jax.block_until_ready(f_trav(oxs, oys, ozs, dxs, dys, dzs, tms, ahs))
     print(f"pair traverse:    {timeit(f_trav, oxs, oys, ozs, dxs, dys, dzs, tms, ahs)*1e3:8.2f} ms")
     ths = f_trav(oxs, oys, ozs, dxs, dys, dzs, tms, ahs)
-    f_uns = jax.jit(lambda lanes, t, b1, b2, s: jax.lax.sort((lanes, t, b1, b2, s), dimension=0, num_keys=1))
-    jax.block_until_ready(f_uns(lanes, ths.t, ths.b1, ths.b2, ths.slot))
-    print(f"pair unsort:      {timeit(f_uns, lanes, ths.t, ths.b1, ths.b2, ths.slot)*1e3:8.2f} ms")
+    f_uns = jax.jit(lambda lanes, t, s: jax.lax.sort((lanes, t, s), dimension=0, num_keys=1))
+    jax.block_until_ready(f_uns(lanes, ths.t, ths.slot))
+    print(f"pair unsort:      {timeit(f_uns, lanes, ths.t, ths.slot)*1e3:8.2f} ms")
     # live stats
     print("live next:", int(act.sum()), "live shadow:", int(nee_live.sum()), "of", N)
 

@@ -51,7 +51,8 @@ both = (r_tri >= 0) & (g_tri >= 0)
 dt = np.abs(r_t[both] - g_t[both])
 print(f"t maxdiff={dt.max() if both.any() else 0:.2e} "
       f"tri-id match={(r_tri[both]==g_tri[both]).mean()*100:.1f}%")
-b1d = np.abs(np.asarray(ref.b1)[both] - np.asarray(got.b1)[both]).max() if both.any() else 0
+b1d = (np.abs(np.asarray(ref.b1)[both] - np.asarray(got.b1)[both]).max()
+       if both.any() and got.b1 is not None else 0)
 print(f"b1 maxdiff={b1d:.2e}")
 
 # any-hit mode
