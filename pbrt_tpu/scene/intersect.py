@@ -112,7 +112,10 @@ def kernel_bary(o, d, p0, p1, p2):
     ky = (kx + 1) % 3
 
     def pick(v, k):
-        return jnp.take_along_axis(v, k[:, None], axis=-1)[:, 0]
+        # where-chain, NOT take_along_axis: per-lane XLA gathers cost ~1ms
+        # each at wavefront sizes in-context (core/math.py gather_rows note)
+        return jnp.where(k == 0, v[:, 0], jnp.where(k == 1, v[:, 1],
+                                                    v[:, 2]))
 
     dpz = pick(d, kz)
     sz = 1.0 / jnp.where(dpz == 0.0, tiny, dpz)
